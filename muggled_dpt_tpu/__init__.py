@@ -1,0 +1,27 @@
+"""muggled_dpt_tpu — TPU-native (JAX/XLA/Pallas) DPT monocular depth framework.
+
+A ground-up rebuild of the capabilities of heyoeyo/muggled_dpt for TPU:
+MiDaS v3.1 BEiT & SwinV2, Depth-Anything V1 & V2 (incl. metric + ViT-Giant),
+loading the original .pt/.pth checkpoints unchanged."""
+
+from .dpt import DPTModel
+from .make_dpt import make_dpt_from_state_dict
+from .make_depthanythingv1_dpt import (
+    make_depthanythingv1_dpt,
+    make_depthanythingv1_dpt_from_original_state_dict,
+)
+from .make_depthanythingv2_dpt import (
+    make_depthanythingv2_dpt,
+    make_depthanythingv2_dpt_from_original_state_dict,
+)
+
+__all__ = [
+    "DPTModel",
+    "make_dpt_from_state_dict",
+    "make_depthanythingv1_dpt",
+    "make_depthanythingv1_dpt_from_original_state_dict",
+    "make_depthanythingv2_dpt",
+    "make_depthanythingv2_dpt_from_original_state_dict",
+]
+
+__version__ = "0.1.0"

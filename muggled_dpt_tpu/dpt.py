@@ -1,0 +1,147 @@
+"""Generic DPT model facade.
+
+API-compatible with the reference's DPTModel (muggled_dpt/dpt_model.py:20-166):
+``forward`` / ``inference`` / ``prepare_image_bgr`` / ``verify_input`` with the
+same argument conventions (BCHW tensors at the API boundary, BGR uint8 numpy
+images for ``inference``).
+
+TPU-native execution model: the entire pipeline — on-device preprocessing
+(resize-to-patch-multiple + normalization) through patch embed, encoder,
+reassembly, fusion and head — is one jitted XLA program per static input
+shape. jax.jit's executable cache keyed on shapes replaces the reference's
+GridCache machinery; async dispatch replaces torch's non_blocking copies."""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.resize import resize_2d
+
+
+class DPTModel:
+    """Holds parameters + the family-specific forward function.
+
+    family_spec: dict with keys
+      forward(params, image_nhwc, capture=False) -> depth (B,H,W) [, internals]
+      mean_rgb, std_rgb: per-channel normalization (floats 0..1)
+      patch_size_px, tiling_size, default_size_px
+    """
+
+    def __init__(self, params, config_dict: dict, family_spec: dict, dtype=jnp.float32):
+        self.config = dict(config_dict)
+        self.spec = family_spec
+        self._dtype = jnp.dtype(dtype)
+        self.params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=self._cast_dtype(a)), params)
+        self._mean = np.asarray(family_spec["mean_rgb"], dtype=np.float32)
+        self._std = np.asarray(family_spec["std_rgb"], dtype=np.float32)
+        self.patch_size_px = family_spec["patch_size_px"]
+        self.tiling_size = family_spec["tiling_size"]
+        self.default_size_px = family_spec["default_size_px"]
+
+        # f32 mode is the parity mode: force full-precision MXU passes.
+        precision = "highest" if self._dtype == jnp.float32 else None
+        fwd = family_spec["forward"]
+
+        def _forward(params, image_nhwc):
+            with jax.default_matmul_precision(precision) if precision else _nullcontext():
+                return fwd(params, image_nhwc)
+
+        def _prep(image_hw3_f32, scaled_hw):
+            # resize (bilinear antialias, on 0..255 floats) then normalize —
+            # exact order of the reference (v2 patch_embed.py:103-145)
+            x = image_hw3_f32[None]
+            x = resize_2d(x, scaled_hw, mode="bilinear", align_corners=False, antialias=True)
+            x = (x / 255.0 - self._mean) / self._std
+            return x.astype(self._dtype)
+
+        def _infer(params, image_hw3_u8, scaled_hw):
+            with jax.default_matmul_precision(precision) if precision else _nullcontext():
+                x = _prep(image_hw3_u8.astype(jnp.float32), scaled_hw)
+                return fwd(params, x)
+
+        self._forward_jit = jax.jit(_forward)
+        self._infer_jit = jax.jit(_infer, static_argnums=(2,))
+        self._prep_jit = jax.jit(_prep, static_argnums=(1,))
+        self._capture_fn = family_spec.get("forward_capture")
+
+    def _cast_dtype(self, a):
+        a = np.asarray(a)
+        return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
+
+    # -- reference API ------------------------------------------------------
+
+    def forward(self, image_rgb_normalized_bchw):
+        """Depth prediction on a preprocessed BCHW tensor -> (B, H, W)."""
+        x = jnp.asarray(image_rgb_normalized_bchw).transpose(0, 2, 3, 1).astype(self._dtype)
+        return self._forward_jit(self.params, x)
+
+    __call__ = forward
+
+    def inference(self, image_bgr: np.ndarray, max_side_length: int | None = None, use_square_sizing: bool = True):
+        """Full preprocessing + forward on a BGR uint8 image -> (1, H, W)."""
+        scaled_hw = self.compute_scaled_hw(image_bgr.shape[:2], max_side_length, use_square_sizing)
+        image_rgb = np.ascontiguousarray(image_bgr[..., ::-1])
+        return self._infer_jit(self.params, jnp.asarray(image_rgb), scaled_hw)
+
+    def prepare_image_bgr(
+        self,
+        image_bgr: np.ndarray,
+        max_side_length: int | None = None,
+        use_square_sizing: bool = True,
+        interpolation_mode: str = "bilinear",
+    ):
+        """Preprocess a BGR uint8 image -> normalized BCHW array (API parity
+        with v2 patch_embed.py:103-145)."""
+        assert interpolation_mode == "bilinear", "only bilinear preprocessing is supported"
+        scaled_hw = self.compute_scaled_hw(image_bgr.shape[:2], max_side_length, use_square_sizing)
+        image_rgb = np.ascontiguousarray(image_bgr[..., ::-1]).astype(np.float32)
+        x = self._prep_jit(jnp.asarray(image_rgb), scaled_hw)
+        return x.transpose(0, 3, 1, 2)
+
+    def compute_scaled_hw(self, img_hw, max_side_length=None, use_square_sizing=True):
+        """Round target size to the model's tiling constraint (patch_embed.py:117-130)."""
+        if max_side_length is None:
+            max_side_length = self.default_size_px
+        h, w = int(img_hw[0]), int(img_hw[1])
+        largest = max(h, w)
+        scale = max_side_length / largest
+        targ = (largest, largest) if use_square_sizing else (h, w)
+        tile = self.tiling_size
+        return tuple(max(1, round(s * scale / tile)) * tile for s in targ)
+
+    def verify_input(self, image_rgb_normalized_bchw) -> bool:
+        shape = np.shape(image_rgb_normalized_bchw)
+        assert len(shape) == 4, f"Bad image shape! {shape} should be BxCxHxW"
+        b, c, h, w = shape
+        assert c == 3, f"Bad channel count! Expected 3 got {c}"
+        p = self.patch_size_px
+        assert h % p == 0, f"Bad height! Image height ({h}) must be divisible by {p}"
+        assert w % p == 0, f"Bad width! Image width ({w}) must be divisible by {p}"
+        return True
+
+    # -- extensions ---------------------------------------------------------
+
+    def forward_with_internals(self, image_rgb_normalized_bchw):
+        """Introspection mode: functional replacement for the reference's
+        forward hooks (demo_helpers/model_capture.py) — returns
+        (depth, internals-pytree with per-block tokens / attention maps)."""
+        if self._capture_fn is None:
+            raise NotImplementedError("No capture mode for this family yet")
+        x = jnp.asarray(image_rgb_normalized_bchw).transpose(0, 2, 3, 1).astype(self._dtype)
+        return self._capture_fn(self.params, x)
+
+    def to(self, dtype):
+        """Return a copy of this model with a different compute dtype."""
+        return DPTModel(self.params, self.config, self.spec, dtype=dtype)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,169 @@
+"""Core functional NN ops, TPU-first (NHWC layouts, MXU-friendly shapes).
+
+Parameter conventions (differ deliberately from the torch reference — these
+are layouts XLA likes, the checkpoint converter handles the transposition):
+
+* linear kernels:   (in_features, out_features)       -> y = x @ W + b
+* conv kernels:     (kh, kw, in_ch, out_ch)  (HWIO)   -> NHWC conv
+* conv-transpose:   (kh, kw, in_ch, out_ch)
+* layernorm / scale params: (features,)
+
+Reference behaviors reimplemented here (cited for parity checking):
+* LayerNorm eps=1e-6: muggled_dpt/v2_depthanything/components/misc_helpers.py:190
+* MLP (Linear-GELU-Linear): misc_helpers.py:88-120
+* SwiGLU fused double inner linear: misc_helpers.py:157-185
+* Attention & SDPA path: v2_depthanything/components/transformer_block.py:74-171
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Elementwise / token ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, scale, bias, eps=1e-6):
+    """LayerNorm over the last axis; statistics in f32 regardless of input dtype."""
+    xf = x.astype(F32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return (y * scale.astype(F32) + bias.astype(F32)).astype(x.dtype)
+
+
+def linear(x, kernel, bias=None):
+    y = x @ kernel.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def mlp_gelu(x, p):
+    """Linear -> GELU(exact/erf, matching torch nn.GELU default) -> Linear."""
+    h = linear(x, p["fc1_kernel"], p["fc1_bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(h, p["fc2_kernel"], p["fc2_bias"])
+
+
+def mlp_swiglu(x, p):
+    """SwiGLU-FFN: Linear(silu(W_a x) * (W_b x)); W_a/W_b fused in w12."""
+    h = linear(x, p["w12_kernel"], p["w12_bias"])
+    a, b = jnp.split(h, 2, axis=-1)
+    return linear(jax.nn.silu(a) * b, p["w3_kernel"], p["w3_bias"])
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def sdpa(q, k, v, bias=None, scale=None, impl="xla"):
+    """Scaled dot-product attention over (B, N, H, D) tensors.
+
+    impl: 'xla'    -> jax.nn.dot_product_attention (XLA fuses on TPU)
+          'pallas' -> custom flash kernel (ops/pallas), falls back to xla off-TPU
+          'naive'  -> explicit softmax (used by introspection mode, mirrors the
+                      reference's hookable nn.Softmax path, transformer_block.py:100)
+    Returns (B, N, H, D); with impl='naive' also returns the (B, H, N, N) weights.
+    """
+    if impl == "pallas":
+        from .pallas.flash_attention import flash_attention_available, flash_attention
+
+        if flash_attention_available():
+            return flash_attention(q, k, v, bias=bias, scale=scale)
+        impl = "xla"
+    if impl == "xla":
+        return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
+
+    # naive: explicit weights for analysis hooks
+    d = q.shape[-1]
+    s = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * s, k, preferred_element_type=F32)
+    if bias is not None:
+        logits = logits + bias.astype(F32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights.astype(q.dtype), v)
+    return out, weights
+
+
+def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
+    """Fused-QKV multi-head self-attention (reference transformer_block.py:74-171).
+
+    tokens: (B, N, C). p: qkv_kernel (C, 3C) ordered [q|k|v] x heads x dim,
+    qkv_bias (3C,), proj_kernel (C, C), proj_bias (C,).
+    """
+    b, n, c = tokens.shape
+    d = c // num_heads
+    qkv = linear(tokens, p["qkv_kernel"], p.get("qkv_bias"))
+    qkv = qkv.reshape(b, n, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if capture:
+        out, weights = sdpa(q, k, v, bias=bias, impl="naive")
+    else:
+        out = sdpa(q, k, v, bias=bias, impl=impl)
+        weights = None
+    out = out.reshape(b, n, c)
+    out = linear(out, p["proj_kernel"], p["proj_bias"])
+    return (out, weights) if capture else out
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (NHWC)
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, kernel, bias=None, stride=1, padding="SAME"):
+    strides = (stride, stride) if isinstance(stride, int) else stride
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=strides, padding=padding, dimension_numbers=_DN
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_transpose_blocky(x, kernel, bias=None):
+    """ConvTranspose2d with stride == kernel_size (reference reassembly
+    upsamplers, v2_depthanything/reassembly_model.py:262-270).
+
+    Because stride == kernel there is no tap overlap: each input pixel expands
+    into an independent (k x k) output block. That makes the op an exact
+    matmul + reshape — far friendlier to the MXU than a transposed conv.
+    kernel: (kh, kw, in_ch, out_ch).
+    """
+    b, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    y = jnp.einsum("bhwi,klio->bhkwlo", x, kernel.astype(x.dtype))
+    y = y.reshape(b, h * kh, w * kw, co)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def patchify_embed(image_nhwc, kernel, bias=None):
+    """Patch embedding: stride==kernel conv expressed as space-to-depth matmul
+    (reference v2_depthanything/patch_embed.py:56-62,92-98).
+
+    kernel: (P, P, 3, F). Returns (tokens (B, gh*gw, F), (gh, gw)).
+    """
+    b, h, w, c = image_nhwc.shape
+    p = kernel.shape[0]
+    f = kernel.shape[-1]
+    gh, gw = h // p, w // p
+    x = image_nhwc.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    wmat = kernel.reshape(p * p * c, f).astype(x.dtype)
+    tokens = x @ wmat
+    if bias is not None:
+        tokens = tokens + bias.astype(tokens.dtype)
+    return tokens, (gh, gw)
