@@ -45,10 +45,12 @@ class DPTModel:
         # f32 mode is the parity mode: force full-precision MXU passes.
         precision = "highest" if self._dtype == jnp.float32 else None
         fwd = family_spec["forward"]
+        self._make_aux = family_spec.get("make_aux")
+        self._aux_cache: dict = {}
 
-        def _forward(params, image_nhwc):
+        def _forward(params, image_nhwc, aux=None):
             with jax.default_matmul_precision(precision) if precision else _nullcontext():
-                return fwd(params, image_nhwc)
+                return fwd(params, image_nhwc, aux)
 
         def _prep(image_hw3_f32, scaled_hw):
             # resize (bilinear antialias, on 0..255 floats) then normalize —
@@ -58,10 +60,10 @@ class DPTModel:
             x = (x / 255.0 - self._mean) / self._std
             return x.astype(self._dtype)
 
-        def _infer(params, image_hw3_u8, scaled_hw):
+        def _infer(params, image_hw3_u8, scaled_hw, aux=None):
             with jax.default_matmul_precision(precision) if precision else _nullcontext():
                 x = _prep(image_hw3_u8.astype(jnp.float32), scaled_hw)
-                return fwd(params, x)
+                return fwd(params, x, aux)
 
         self._forward_jit = jax.jit(_forward)
         self._infer_jit = jax.jit(_infer, static_argnums=(2,))
@@ -74,10 +76,28 @@ class DPTModel:
 
     # -- reference API ------------------------------------------------------
 
+    def _get_aux(self, grid_hw):
+        """Grid-keyed cache of precomputed aux tensors (BEiT relpos bias stack,
+        SwinV2 CPB tables) — the TPU analog of the reference's GridCache
+        (enable_cache, v31_beit/image_encoder_model.py:82-83)."""
+        if self._make_aux is None or not self.config.get("enable_cache", True):
+            return None
+        grid_hw = tuple(int(g) for g in grid_hw)
+        if grid_hw not in self._aux_cache:
+            fn = jax.jit(self._make_aux, static_argnums=(1,))
+            self._aux_cache[grid_hw] = fn(self.params, grid_hw)
+        return self._aux_cache[grid_hw]
+
+    def clear_cache(self):
+        """Drop cached per-grid aux tensors (reference clear_relpos_cache)."""
+        self._aux_cache.clear()
+
     def forward(self, image_rgb_normalized_bchw):
         """Depth prediction on a preprocessed BCHW tensor -> (B, H, W)."""
         x = jnp.asarray(image_rgb_normalized_bchw).transpose(0, 2, 3, 1).astype(self._dtype)
-        return self._forward_jit(self.params, x)
+        p = self.patch_size_px
+        aux = self._get_aux((x.shape[1] // p, x.shape[2] // p))
+        return self._forward_jit(self.params, x, aux)
 
     __call__ = forward
 
@@ -85,7 +105,9 @@ class DPTModel:
         """Full preprocessing + forward on a BGR uint8 image -> (1, H, W)."""
         scaled_hw = self.compute_scaled_hw(image_bgr.shape[:2], max_side_length, use_square_sizing)
         image_rgb = np.ascontiguousarray(image_bgr[..., ::-1])
-        return self._infer_jit(self.params, jnp.asarray(image_rgb), scaled_hw)
+        p = self.patch_size_px
+        aux = self._get_aux((scaled_hw[0] // p, scaled_hw[1] // p))
+        return self._infer_jit(self.params, jnp.asarray(image_rgb), scaled_hw, aux)
 
     def prepare_image_bgr(
         self,
@@ -132,7 +154,9 @@ class DPTModel:
         if self._capture_fn is None:
             raise NotImplementedError("No capture mode for this family yet")
         x = jnp.asarray(image_rgb_normalized_bchw).transpose(0, 2, 3, 1).astype(self._dtype)
-        return self._capture_fn(self.params, x)
+        p = self.patch_size_px
+        aux = self._get_aux((x.shape[1] // p, x.shape[2] // p))
+        return self._capture_fn(self.params, x, aux)
 
     def to(self, dtype):
         """Return a copy of this model with a different compute dtype."""

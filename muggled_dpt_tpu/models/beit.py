@@ -1,0 +1,161 @@
+"""BEiT image encoder (MiDaS v3.1), functional JAX.
+
+Reference behavior (cited for parity):
+* 4-stage structure, cls token prepend: v31_beit/image_encoder_model.py:68-91
+* pre-norm block with gamma LayerScale: image_encoder_model.py:233-251
+* attention with separate q/v bias (no k bias) + additive relative-position
+  bias at every block: image_encoder_model.py:293-356
+* per-block learned relpos LUT, bilinearly rescaled per grid then gathered by a
+  deterministic NxN relative-index matrix:
+  v31_beit/components/relative_positional_encoder.py:242-309
+* index-matrix construction: relative_positional_encoder.py:117-238
+
+TPU-first design: the relative-position index matrix is a trace-time numpy
+constant; the per-layer bias stack (L, H, N, N) is produced by one batched
+bilinear-resize (MXU matmuls) + one gather over all layers at once, and is
+either cached per grid by the facade (the reference's GridCache / enable_cache
+path, with its 1.5-2x speedup claim, v31_beit/components/README.md:91) or
+recomputed inline. Blocks run as a lax.scan that consumes (block params, bias)
+pairs, so the 24-layer model compiles a single block program."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.nn import layer_norm, mlp_gelu, self_attention
+from ..ops.resize import resize_2d
+
+
+@dataclass(frozen=True)
+class BEiTConfig:
+    features: int
+    num_heads: int
+    num_blocks: int
+    base_grid_hw: tuple[int, int]
+    attn_impl: str = "xla"
+
+
+@functools.lru_cache(maxsize=64)
+def relative_position_index(grid_hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic (N, N) int32 matrix of relative-offset ids, with special
+    cls entries (relative_positional_encoder.py:117-238). N = gh*gw + 1."""
+    gh, gw = grid_hw
+    yy, xx = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    coords = np.stack([yy.ravel(), xx.ravel()]).astype(np.int64)  # (2, A)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, A, A)
+    rel_y = (rel[0] + gh - 1) * (2 * gw - 1)
+    rel_x = rel[1] + gw - 1
+
+    n = gh * gw + 1
+    max_token_index = (2 * gh - 1) * (2 * gw - 1) - 1
+    idx = np.zeros((n, n), dtype=np.int32)
+    idx[1:, 1:] = rel_y + rel_x
+    idx[0, :] = max_token_index + 1  # cls-to-token
+    idx[:, 0] = max_token_index + 2  # token-to-cls
+    idx[0, 0] = max_token_index + 3  # cls-to-cls
+    return idx
+
+
+def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw):
+    """Per-layer relative-position bias (L, H, N, N) for a patch grid.
+
+    relpos_lut: (L, R, H) stacked learned tables, R = (2bh-1)(2bw-1)+3.
+    Rescaling uses torch-default bilinear (align_corners=False, no antialias) —
+    relative_positional_encoder.py:289-295."""
+    num_layers, _, heads = relpos_lut.shape
+    bh, bw = base_grid_hw
+    gh, gw = grid_hw
+    ref_h, ref_w = 2 * bh - 1, 2 * bw - 1
+    new_h, new_w = 2 * gh - 1, 2 * gw - 1
+
+    lut = relpos_lut.astype(jnp.float32)
+    token_lut = lut[:, : ref_h * ref_w, :].reshape(num_layers, ref_h, ref_w, heads)
+    if (new_h, new_w) != (ref_h, ref_w):
+        token_lut = resize_2d(token_lut, (new_h, new_w), mode="bilinear", align_corners=False)
+    token_lut = token_lut.reshape(num_layers, new_h * new_w, heads)
+    full_lut = jnp.concatenate([token_lut, lut[:, ref_h * ref_w :, :]], axis=1)  # (L, R', H)
+
+    idx = jnp.asarray(relative_position_index((gh, gw)))  # (N, N)
+    n = idx.shape[0]
+    # one gather for all layers: (L, R', H) -> (L, N*N, H) -> (L, H, N, N)
+    bias = jnp.take(full_lut, idx.reshape(-1), axis=1)
+    return bias.reshape(num_layers, n, n, heads).transpose(0, 3, 1, 2)
+
+
+def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
+    """Pre-norm block with additive attention bias (image_encoder_model.py:233-251).
+    The k-bias is structurally zero (image_encoder_model.py:293-298): q/v biases
+    are fused into a standard qkv bias vector with a zero k segment."""
+    f = cfg.features
+    qkv_bias = jnp.concatenate([bp["q_bias"], jnp.zeros((f,), bp["q_bias"].dtype), bp["v_bias"]])
+    attn_params = {
+        "qkv_kernel": bp["qkv_kernel"],
+        "qkv_bias": qkv_bias,
+        "proj_kernel": bp["proj_kernel"],
+        "proj_bias": bp["proj_bias"],
+    }
+    h = layer_norm(tokens, bp["norm1_scale"], bp["norm1_bias"])
+    bias = bias_hnn[None]  # (1, H, N, N), broadcast over batch
+    if capture:
+        h, attn_weights = self_attention(h, attn_params, cfg.num_heads, bias=bias, capture=True)
+    else:
+        h = self_attention(h, attn_params, cfg.num_heads, bias=bias, impl=cfg.attn_impl)
+        attn_weights = None
+    tokens = tokens + bp["ls1"].astype(tokens.dtype) * h
+
+    h = layer_norm(tokens, bp["norm2_scale"], bp["norm2_bias"])
+    h = mlp_gelu(h, bp)
+    tokens = tokens + bp["ls2"].astype(tokens.dtype) * h
+    return (tokens, attn_weights) if capture else tokens
+
+
+def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: BEiTConfig, bias_stack=None, capture: bool = False):
+    """BEiT 4-output encoder (image_encoder_model.py:68-91). No absolute
+    pos-embed and no output norm — position information enters purely through
+    the per-block attention bias.
+
+    bias_stack: optional precomputed (L, H, N, N) (the enable_cache path);
+    computed inline from the stacked LUTs when None."""
+    b = patch_tokens.shape[0]
+    cls_tok = params["cls_token"].astype(patch_tokens.dtype)
+    tokens = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, cfg.features)), patch_tokens], axis=1)
+
+    if bias_stack is None:
+        bias_stack = compute_bias_stack(params["blocks"]["relpos_lut"], cfg.base_grid_hw, patch_grid_hw)
+    bias_stack = bias_stack.astype(jnp.float32)
+
+    stacked = {k: v for k, v in params["blocks"].items() if k != "relpos_lut"}
+    taps = tuple((cfg.num_blocks // 4) * (i + 1) - 1 for i in range(4))
+
+    if not capture:
+        outputs = []
+        start = 0
+
+        def body(tok, xs):
+            bp, bias = xs
+            return block_forward(tok, bp, bias, cfg), None
+
+        for t in taps:
+            seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)
+            bias_seg = bias_stack[start : t + 1]
+            tokens = lax.scan(body, tokens, (seg, bias_seg))[0]
+            outputs.append(tokens)
+            start = t + 1
+        return tuple(outputs)
+
+    internals = {"block_tokens": [], "attention": []}
+    outputs = []
+    for i in range(cfg.num_blocks):
+        bp = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        tokens, attn = block_forward(tokens, bp, bias_stack[i], cfg, capture=True)
+        internals["block_tokens"].append(tokens)
+        internals["attention"].append(attn)
+        if i in taps:
+            outputs.append(tokens)
+    return tuple(outputs), internals

@@ -34,14 +34,14 @@ def make_family_spec(config_dict: dict, version: int) -> dict:
     is_metric = config_dict.get("is_metric", False)
     head_upsample = patch_px / 8  # head_model.py:38-51
 
-    def forward(params, image_nhwc):
+    def forward(params, image_nhwc, aux=None):
         tokens, grid = patchify_embed(image_nhwc, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
         stages = encoder_forward(params["encoder"], tokens, grid, enc_cfg)
         maps = reassemble_forward(stages, grid, params["reassemble"], REASSEMBLY_SCALES, readout="ignore")
         fused = fusion_forward(maps, params["fusion"])
         return head_forward(fused, params["head"], head_upsample, is_metric)
 
-    def forward_capture(params, image_nhwc):
+    def forward_capture(params, image_nhwc, aux=None):
         tokens, grid = patchify_embed(image_nhwc, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
         stages, internals = encoder_forward(params["encoder"], tokens, grid, enc_cfg, capture=True)
         maps = reassemble_forward(stages, grid, params["reassemble"], REASSEMBLY_SCALES, readout="ignore")
