@@ -1,0 +1,60 @@
+"""Device-mesh utilities for multi-chip execution.
+
+The reference is strictly single-device (SURVEY.md §5: no distributed
+execution of any kind). The TPU-native extension scales via jax.sharding:
+a ("data", "model") mesh where the batch is sharded over `data` (frame-level
+parallelism for run_video-style streaming) and the wide encoder matmuls are
+sharded over `model` (tensor parallelism). XLA inserts the collectives; they
+ride ICI on a real slice."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, data_parallel: int | None = None) -> Mesh:
+    """Build a (data, model) mesh over the first n_devices. The model axis
+    gets the largest power-of-two factor up to 8 unless data_parallel pins it."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if data_parallel is None:
+        model = 1
+        while model * 2 <= min(4, n) and n % (model * 2) == 0:
+            model *= 2
+        data_parallel = n // model
+    model = n // data_parallel
+    arr = np.array(devices).reshape(data_parallel, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def _spec_for_param(path: str, shape: tuple[int, ...]) -> P:
+    """Megatron-style tensor-parallel placement for the transformer weights:
+    column-parallel for qkv/fc1/w12 (shard output features), row-parallel for
+    proj/fc2/w3 (shard input features). Everything else is replicated."""
+    last = path.split("/")[-1]
+    if last in ("qkv_kernel", "fc1_kernel", "w12_kernel") and len(shape) >= 2:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    if last in ("proj_kernel", "fc2_kernel", "w3_kernel") and len(shape) >= 2:
+        return P(*([None] * (len(shape) - 2) + ["model", None]))
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put a parameter pytree with tensor-parallel shardings."""
+
+    def place(path, leaf):
+        pathstr = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        spec = _spec_for_param(pathstr, np.shape(leaf))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard the leading (batch) axis over the data axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch
+    )

@@ -1,0 +1,77 @@
+"""Fine-tuning / multi-chip training step.
+
+The reference ships no training code (SURVEY.md §4); this module provides the
+TPU-native extension: a scale-and-shift-invariant depth loss (the standard
+MiDaS-style SSI objective matching the models' relative-depth output
+convention) and an optax training step that runs dp x tp sharded over a
+jax.sharding.Mesh."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .mesh import make_mesh, shard_batch, shard_params
+
+
+def ssi_loss(pred_bhw, target_bhw, mask_bhw=None, eps=1e-6):
+    """Scale-shift-invariant MSE: per-image least-squares align (scale, shift)
+    of the prediction to the target, then mean squared residual."""
+    b = pred_bhw.shape[0]
+    p = pred_bhw.reshape(b, -1).astype(jnp.float32)
+    t = target_bhw.reshape(b, -1).astype(jnp.float32)
+    m = jnp.ones_like(p) if mask_bhw is None else mask_bhw.reshape(b, -1).astype(jnp.float32)
+
+    n = jnp.sum(m, axis=1) + eps
+    sp = jnp.sum(m * p, axis=1)
+    st = jnp.sum(m * t, axis=1)
+    spp = jnp.sum(m * p * p, axis=1)
+    spt = jnp.sum(m * p * t, axis=1)
+    det = n * spp - sp * sp + eps
+    scale = (n * spt - sp * st) / det
+    shift = (spp * st - sp * spt) / det
+    aligned = scale[:, None] * p + shift[:, None]
+    return jnp.mean(jnp.sum(m * (aligned - t) ** 2, axis=1) / n)
+
+
+def make_train_step(forward_fn, optimizer):
+    """Build a jittable (params, opt_state, images, targets) -> ... step."""
+
+    def loss_fn(params, images_nhwc, targets_bhw):
+        pred = forward_fn(params, images_nhwc)
+        return ssi_loss(pred, targets_bhw)
+
+    def train_step(params, opt_state, images_nhwc, targets_bhw):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images_nhwc, targets_bhw)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def sharded_train_demo(model, mesh=None, batch: int = 2, image_hw=(56, 56), lr: float = 1e-4):
+    """Run ONE dp x tp sharded training step on tiny shapes. Returns the loss.
+
+    Used by __graft_entry__.dryrun_multichip to validate that the multi-chip
+    shardings compile and execute (on virtual CPU devices or a real slice)."""
+    mesh = mesh or make_mesh()
+    fwd = model.spec["forward"]
+    optimizer = optax.adamw(lr)
+
+    params = shard_params(jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), model.params), mesh)
+    opt_state = optimizer.init(params)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((batch, image_hw[0], image_hw[1], 3)).astype(np.float32)
+    targets = rng.uniform(0.1, 1.0, (batch, image_hw[0], image_hw[1])).astype(np.float32)
+    images, targets = shard_batch((images, targets), mesh)
+
+    step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optimizer))
+    with mesh:
+        params, opt_state, loss = step(params, opt_state, images, targets)
+        loss = float(loss)
+    return loss
