@@ -1,0 +1,105 @@
+"""Device/dtype configuration and async-dispatch helpers (reference
+demo_helpers/misc.py, re-imagined for JAX/TPU).
+
+The reference's DeviceChecker polls a CUDA stream to gate async video
+inference (misc.py:19-38); on TPU the analog is jax's async dispatch —
+``jax.Array.is_ready()`` reports whether the last result has materialized
+without blocking, enabling the same never-block video loop."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_default_device_string() -> str:
+    """'tpu' when a TPU/accelerator is attached, else 'cpu'."""
+    platform = jax.devices()[0].platform
+    return platform
+
+
+def make_device_config(device_str: str | None = None, use_float32: bool = False, prefer_bfloat16: bool = True) -> dict:
+    """Compute-policy config for DPTModel: dtype defaults to bf16 on
+    accelerators (the reference also prefers bf16 when supported,
+    misc.py:61-77) and f32 on CPU or when forced."""
+    device_str = device_str or get_default_device_string()
+    if use_float32 or device_str == "cpu":
+        dtype = jnp.float32
+    else:
+        dtype = jnp.bfloat16 if prefer_bfloat16 else jnp.float16
+    return {"device": device_str, "dtype": dtype}
+
+
+def print_config_feedback(model_path: str, device_config: dict, use_cache: bool, image_bchw=None) -> None:
+    """Startup feedback mirroring the reference's config printout
+    (misc.py:101-137), with device memory stats where available."""
+    import os.path as osp
+
+    dtype = device_config.get("dtype")
+    lines = [
+        "",
+        f"Model: {osp.basename(model_path)}",
+        f"Device: {device_config.get('device')} | dtype: {jnp.dtype(dtype).name} | cache: {use_cache}",
+    ]
+    if image_bchw is not None:
+        shape = tuple(np.shape(image_bchw))
+        lines.append(f"Image shape: {'x'.join(str(s) for s in shape)}")
+    stats = get_device_memory_stats()
+    if stats:
+        used = stats.get("bytes_in_use", 0) / 1e9
+        limit = stats.get("bytes_limit", 0) / 1e9
+        if limit:
+            lines.append(f"Device memory: {used:.2f} / {limit:.2f} GB")
+    print(*lines, sep="\n", flush=True)
+
+
+def get_device_memory_stats() -> dict:
+    try:
+        return jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+
+
+def reduce_overthreading() -> None:
+    """Cap cv2/BLAS thread pools for interactive use (reference misc.py:143-168)."""
+    try:
+        import cv2
+
+        cv2.setNumThreads(max(2, (os.cpu_count() or 4) // 2))
+    except Exception:
+        pass
+
+
+def no_data() -> None:
+    return None
+
+
+class AsyncResult:
+    """Wrapper for dispatch-ahead inference: holds the in-flight jax array and
+    reports readiness without blocking (the TPU analog of the reference's
+    DeviceChecker CUDA-stream query, misc.py:19-38)."""
+
+    def __init__(self):
+        self._pending = None
+
+    def is_ready(self) -> bool:
+        if self._pending is None:
+            return True
+        try:
+            return self._pending.is_ready()
+        except AttributeError:
+            return True
+
+    def submit(self, jax_array):
+        """Store a newly dispatched (asynchronously computing) result."""
+        self._pending = jax_array
+        return jax_array
+
+    def collect(self):
+        """Blocking read of the last submitted result as numpy (device->host)."""
+        if self._pending is None:
+            return None
+        return np.asarray(self._pending)
