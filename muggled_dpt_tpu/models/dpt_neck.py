@@ -81,17 +81,22 @@ def _upsample_projection(x, p):
     return linear(x, p["out_kernel"], p["out_bias"])
 
 
-def fusion_forward(reassembly_maps, params_blocks):
+def fusion_forward(reassembly_maps, params_blocks, input_scales=None):
     """RefineNet-style top-down fusion (fusion_model.py:55-80).
 
     params_blocks[i] corresponds to reference blocks[i]; blocks[3] is the
     top-most block (no reassembly conv / residual add, fusion_model.py:89-114).
     Returns a map at 8x the patch grid.
+
+    input_scales: optional (f1, f2, f3, f4) per-block scaling of the top-most
+    input / prior-fusion maps — the hook the fusion-scaling experiment drives
+    (reference experiments/fusion_scaling.py:330-333).
     """
+    f1, f2, f3, f4 = input_scales if input_scales is not None else (1.0, 1.0, 1.0, 1.0)
     upx4, upx2, noscale, downx2 = reassembly_maps
-    x = _upsample_projection(downx2, params_blocks[3])
-    for fmap, p in ((noscale, params_blocks[2]), (upx2, params_blocks[1]), (upx4, params_blocks[0])):
-        x = residual_conv_unit(fmap, p["res1"]) + x
+    x = _upsample_projection(downx2 * f4, params_blocks[3])
+    for fmap, p, s in ((noscale, params_blocks[2], f3), (upx2, params_blocks[1], f2), (upx4, params_blocks[0], f1)):
+        x = residual_conv_unit(fmap, p["res1"]) + x * s
         x = _upsample_projection(x, p)
     return x
 
