@@ -1,0 +1,44 @@
+"""Pallas flash-attention kernel vs the naive softmax reference
+(interpret mode, runs on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _naive(q, k, v, bias=None, scale=None):
+    d = q.shape[-1]
+    s = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * s, k).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", w.astype(q.dtype), v)
+
+
+@pytest.mark.parametrize("n", [64, 200, 513])  # exercises padding/tail masking
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_matches_naive(n, with_bias):
+    rng = np.random.default_rng(0)
+    b, h, d = 1, 3, 32
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, n, n)), jnp.float32) if with_bias else None
+
+    ref = np.asarray(_naive(q, k, v, bias))
+    got = np.asarray(flash_attention(q, k, v, bias=bias, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_custom_scale():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 100, 2, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 100, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 100, 2, 16)), jnp.float32)
+    ref = np.asarray(_naive(q, k, v, scale=0.5))
+    got = np.asarray(flash_attention(q, k, v, scale=0.5, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
