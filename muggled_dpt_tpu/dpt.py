@@ -84,6 +84,16 @@ class DPTModel:
             return None
         grid_hw = tuple(int(g) for g in grid_hw)
         if grid_hw not in self._aux_cache:
+            # HBM-budget check: mirror the reference's OOM->disable-cache
+            # fallback (v31_beit/image_encoder_model.py:101-117) but predictive,
+            # using the exact bias-size math (relative_positional_encoder.py:313-332).
+            estimate = self.spec.get("aux_bytes_estimate")
+            if estimate is not None and not _fits_hbm_budget(estimate(self.config, grid_hw)):
+                print(
+                    "*** WARNING ***\n"
+                    "Not enough device memory for relpos caching! Caching disabled for this grid..."
+                )
+                return None
             fn = jax.jit(self._make_aux, static_argnums=(1,))
             self._aux_cache[grid_hw] = fn(self.params, grid_hw)
         return self._aux_cache[grid_hw]
@@ -161,6 +171,20 @@ class DPTModel:
     def to(self, dtype):
         """Return a copy of this model with a different compute dtype."""
         return DPTModel(self.params, self.config, self.spec, dtype=dtype)
+
+
+def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5) -> bool:
+    """True if `needed_bytes` fits in the free device memory (with headroom).
+    When memory stats are unavailable (CPU backend), always allow."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if not limit:
+            return True
+        return needed_bytes < (limit - in_use) * safety_fraction
+    except Exception:
+        return True
 
 
 class _nullcontext:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os.path as osp
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .checkpoints.pt_loader import load_state_dict
@@ -24,9 +25,27 @@ def make_dpt_from_state_dict(
     strict_load: bool = True,
     model_type: str | None = None,
     dtype=jnp.float32,
+    conversion_cache: bool = False,
 ):
     """Load an original .pt/.pth checkpoint (unchanged, as downloaded) and
-    build the matching DPT model. Returns (config_dict, model)."""
+    build the matching DPT model. Returns (config_dict, model).
+
+    conversion_cache=True persists/reuses the converted parameter pytree
+    beside the checkpoint (<name>.dpt_cache.npz) for fast reloads of multi-GB
+    models; the cache is invalidated when the source file changes."""
+    if conversion_cache:
+        from .checkpoints.cache import load_converted
+
+        cached = load_converted(path_to_state_dict)
+        if cached is not None:
+            config_dict, params = cached
+            cached_type = config_dict.pop("_model_type", None)
+            if cached_type in KNOWN_MODEL_TYPES:
+                config_dict["enable_cache"] = enable_cache
+                config_dict["enable_optimizations"] = enable_optimizations
+                model = _build_from_converted(cached_type, config_dict, params, dtype)
+                return config_dict, model
+
     state_dict = load_state_dict(path_to_state_dict)
 
     if model_type is None:
@@ -49,7 +68,38 @@ def make_dpt_from_state_dict(
         )
 
     make_fn = import_model_functions(model_type)
-    return make_fn(state_dict, enable_cache, enable_optimizations, strict_load, dtype=dtype)
+    config_dict, model = make_fn(state_dict, enable_cache, enable_optimizations, strict_load, dtype=dtype)
+
+    if conversion_cache:
+        from .checkpoints.cache import save_converted
+
+        params_np = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), model.params)
+        save_converted(path_to_state_dict, dict(config_dict, _model_type=model_type), params_np)
+
+    return config_dict, model
+
+
+def _build_from_converted(model_type: str, config_dict: dict, params, dtype):
+    """Assemble a DPTModel from an already-converted parameter pytree."""
+    from .dpt import DPTModel
+
+    if model_type == "depthanythingv2":
+        from .models.depth_anything import make_family_spec
+
+        spec = make_family_spec(config_dict, version=2)
+    elif model_type == "depthanythingv1":
+        from .models.depth_anything import make_family_spec
+
+        spec = make_family_spec(config_dict, version=1)
+    elif model_type == "beit":
+        from .models.beit_family import make_family_spec
+
+        spec = make_family_spec(config_dict)
+    else:
+        from .models.swinv2_family import make_family_spec
+
+        spec = make_family_spec(config_dict)
+    return DPTModel(params, config_dict, spec, dtype=dtype)
 
 
 def determine_model_type_from_state_dict(model_path: str, state_dict: dict) -> str:

@@ -62,6 +62,14 @@ def relative_position_index(grid_hw: tuple[int, int]) -> np.ndarray:
     return idx
 
 
+def calculate_bias_bytes(num_layers: int, num_heads: int, grid_hw, bytes_per_element: int = 4) -> int:
+    """HBM cost of the full cached bias stack — the budget math the reference
+    documents per layer (relative_positional_encoder.py:313-332, e.g. 1.6 GB
+    for BEiT-L-512 at 512^2)."""
+    n = grid_hw[0] * grid_hw[1] + 1
+    return int(num_layers * num_heads * n * n * bytes_per_element)
+
+
 def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw):
     """Per-layer relative-position bias (L, H, N, N) for a patch grid.
 

@@ -52,11 +52,17 @@ def make_family_spec(config_dict: dict) -> dict:
         GridCache, cached by the DPTModel facade keyed on grid)."""
         return compute_bias_stack(params["encoder"]["blocks"]["relpos_lut"], enc_cfg.base_grid_hw, grid_hw)
 
+    def aux_bytes_estimate(config, grid_hw):
+        from .beit import calculate_bias_bytes
+
+        return calculate_bias_bytes(config["num_blocks"], config["num_heads"], grid_hw)
+
     base_grid = config_dict["base_patch_grid_hw"]
     return {
         "forward": forward,
         "forward_capture": forward_capture,
         "make_aux": make_aux,
+        "aux_bytes_estimate": aux_bytes_estimate,
         "mean_rgb": MEAN_RGB,
         "std_rgb": STD_RGB,
         "patch_size_px": patch_px,

@@ -1,0 +1,109 @@
+"""Demo-helper functions, conversion cache, and observability utilities."""
+
+import numpy as np
+import pytest
+import torch
+
+from muggled_dpt_tpu.checkpoints.random_init import random_original_depth_anything_state_dict
+from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
+
+TINY = {
+    "features_per_token": 64,
+    "num_blocks": 4,
+    "reassembly_features_list": [8, 16, 32, 64],
+    "fusion_channels": 16,
+    "patch_size_px": 14,
+    "base_patch_grid_hw": (8, 8),
+}
+
+
+def test_postprocess_functions():
+    from muggled_dpt_tpu.demo_helpers.postprocess import (
+        convert_to_uint8,
+        histogram_equalization,
+        normalize_01,
+        remove_infinities,
+        scale_prediction,
+    )
+
+    d = np.array([[1.0, 2.0], [np.inf, -np.inf]], np.float32)
+    clean = remove_infinities(d)
+    assert np.isfinite(clean).all() and clean.max() == 2.0 and clean.min() == 1.0
+
+    n = normalize_01(np.array([[1.0, 3.0]], np.float32))
+    np.testing.assert_allclose(n, [[0.0, 1.0]])
+    assert normalize_01(np.zeros((2, 2))).max() == 0.0
+
+    u8 = convert_to_uint8(np.array([[0.0, 0.5, 1.0]]))
+    np.testing.assert_array_equal(u8, [[0, 127, 255]])
+
+    img = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    eq = histogram_equalization(img)
+    assert eq.shape == img.shape and eq.dtype == np.uint8
+    assert eq.min() <= 5 and eq.max() >= 250  # roughly full range
+
+    scaled = scale_prediction(np.ones((10, 12), np.float32), (24, 20))
+    assert scaled.shape == (20, 24)
+
+
+def test_plane_fit_recovers_plane():
+    from muggled_dpt_tpu.demo_helpers.plane_fit import estimate_plane_of_best_fit
+
+    h, w = 64, 80
+    xg, yg = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    depth = 0.003 * xg - 0.002 * yg + 0.5
+    plane = estimate_plane_of_best_fit(depth, rng=np.random.default_rng(0))
+    # fitted plane should match the synthetic plane closely
+    assert np.abs(plane - depth).mean() < 1e-3
+
+
+def test_history_keeper_roundtrip(tmp_path):
+    from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
+
+    hk = HistoryKeeper(str(tmp_path))
+    hk.store(model_path=str(tmp_path / "nonexistent.pt"), value=42)
+    hk2 = HistoryKeeper(str(tmp_path))
+    has, v = hk2.read("value")
+    assert has and v == 42
+    has, _ = hk2.read("model_path")  # *_path keys must exist on disk
+    assert not has
+
+
+def test_conversion_cache_roundtrip(tmp_path):
+    sd = random_original_depth_anything_state_dict(TINY, seed=8)
+    path = str(tmp_path / "depth_anything_v2_tiny.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    cfg1, model1 = make_dpt_from_state_dict(path, conversion_cache=True)
+    from muggled_dpt_tpu.checkpoints.cache import cache_path_for
+    import os.path as osp
+
+    assert osp.exists(cache_path_for(path))
+
+    cfg2, model2 = make_dpt_from_state_dict(path, conversion_cache=True)
+    x = np.random.default_rng(0).standard_normal((1, 3, 56, 56)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(model1.forward(x)), np.asarray(model2.forward(x)), rtol=1e-6, atol=1e-6)
+
+
+def test_beit_bias_budget_math():
+    from muggled_dpt_tpu.models.beit import calculate_bias_bytes
+
+    # documented example: BEiT-L-512 @512^2 -> 24 layers x 16 x 1025^2 x 4 B
+    per_layer = calculate_bias_bytes(1, 16, (32, 32))
+    assert per_layer == 16 * 1025 * 1025 * 4
+    assert calculate_bias_bytes(24, 16, (32, 32)) == 24 * per_layer
+
+
+def test_step_timer_and_memory_report():
+    from muggled_dpt_tpu.utils.observability import StepTimer, device_memory_report, trace_span
+
+    t = StepTimer(smoothing=0.0)
+    t.tick()
+    import time
+
+    time.sleep(0.01)
+    t.tick()
+    assert t.ms > 5
+    assert isinstance(device_memory_report(), dict)
+    with trace_span("test-span"):
+        pass
