@@ -67,6 +67,37 @@ def ask_for_image_path(default_path: str | None = None) -> str:
     return ask_for_path("Enter path to image", default_path)
 
 
+class PathCarousel:
+    """Cycle through image files in a folder (reference toadui PathCarousel /
+    run_image.py's file selector): built from a file path (siblings included)
+    or a folder path."""
+
+    def __init__(self, image_or_folder_path: str):
+        path = osp.expanduser(str(image_or_folder_path))
+        folder = path if osp.isdir(path) else osp.dirname(path) or "."
+        self.paths = [
+            osp.join(folder, f) for f in sorted(os.listdir(folder)) if f.lower().endswith(VALID_IMAGE_EXTS)
+        ] if osp.isdir(folder) else []
+        if not self.paths and osp.isfile(path):
+            self.paths = [path]
+        self._idx = self.paths.index(path) if path in self.paths else 0
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def current(self) -> str:
+        return self.paths[self._idx]
+
+    def next(self) -> str:
+        self._idx = (self._idx + 1) % len(self.paths)
+        return self.current
+
+    def prev(self) -> str:
+        self._idx = (self._idx - 1) % len(self.paths)
+        return self.current
+
+
 def ask_for_video_path(default_path: str | None = None) -> str:
     """Video path or webcam index (digits select a camera)."""
     suffix = f" [{default_path}]" if default_path else ""

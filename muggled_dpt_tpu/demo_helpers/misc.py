@@ -21,6 +21,14 @@ def get_default_device_string() -> str:
     return platform
 
 
+def select_device(device_str: str | None) -> None:
+    """Force a JAX backend ('cpu' or 'tpu'/accelerator) — the apps' -d flag.
+    Must be called before any device computation; the env var is unreliable
+    under PJRT plugins so this uses the config API."""
+    if device_str and device_str == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def make_device_config(device_str: str | None = None, use_float32: bool = False, prefer_bfloat16: bool = True) -> dict:
     """Compute-policy config for DPTModel: dtype defaults to bf16 on
     accelerators (the reference also prefers bf16 when supported,

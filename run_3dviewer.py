@@ -186,9 +186,13 @@ def main():
     parser.add_argument("-b", "--base_size_px", default=None, type=int)
     parser.add_argument("-p", "--port", default=8000, type=int)
     parser.add_argument("--host", default="localhost")
+    parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     args = parser.parse_args()
 
+    from muggled_dpt_tpu.demo_helpers.misc import select_device
+
+    select_device(args.device)
     reduce_overthreading()
     history = HistoryKeeper()
     _, hist_input = history.read("input_path")

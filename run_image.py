@@ -17,7 +17,7 @@ from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
 from muggled_dpt_tpu.demo_helpers import ui
 from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
 from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
-from muggled_dpt_tpu.demo_helpers.loading import ask_for_model_path, ask_for_path
+from muggled_dpt_tpu.demo_helpers.loading import PathCarousel, ask_for_model_path, ask_for_path
 from muggled_dpt_tpu.demo_helpers.misc import make_device_config, print_config_feedback, reduce_overthreading
 from muggled_dpt_tpu.demo_helpers.plane_fit import estimate_plane_of_best_fit
 from muggled_dpt_tpu.demo_helpers.postprocess import (
@@ -35,6 +35,7 @@ def parse_args():
     parser.add_argument("-i", "--image_path", default=None, help="Path to input image")
     parser.add_argument("-m", "--model_path", default=None, help="Path to DPT model weights (.pt/.pth)")
     parser.add_argument("-s", "--display_size", default=800, type=int, help="Display size in pixels")
+    parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true", help="Use float32 (default bfloat16)")
     parser.add_argument("-u", "--prefer_unstable_f16", action="store_true", help="Prefer float16 over bfloat16")
     parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
@@ -72,6 +73,9 @@ def render_depth_image(depth_norm, plane, *, remove_plane, reverse_colors, thres
 
 def main():
     args = parse_args()
+    from muggled_dpt_tpu.demo_helpers.misc import select_device
+
+    select_device(args.device)
     reduce_overthreading()
 
     history = HistoryKeeper()
@@ -88,6 +92,10 @@ def main():
     )
     print_config_feedback(model_path, device_config, use_cache=False)
 
+    carousel = PathCarousel(image_path)
+    if len(carousel) == 0:
+        raise FileNotFoundError(f"No image files at: {image_path}")
+    image_path = carousel.current
     image_bgr = cv2.imread(image_path)
     if image_bgr is None:
         raise FileNotFoundError(f"Could not load image: {image_path}")
@@ -135,11 +143,30 @@ def main():
     window.attach_keypress_callback("p", plane_toggle.toggle)
     window.attach_keypress_callback("e", histeq_toggle.toggle)
 
-    print("\nKeys: s=save  c=colormap  r=reverse  p=plane removal  e=equalize  q=quit")
+    print("\nKeys: s=save  c=colormap  r=reverse  p=plane removal  e=equalize  n/b=next/prev image  q=quit")
     needs_render = True
+    file_changed = False
+
+    def _cycle(direction):
+        nonlocal file_changed
+        carousel.next() if direction > 0 else carousel.prev()
+        file_changed = True
+
+    if len(carousel) > 1:
+        window.attach_keypress_callback("n", lambda: _cycle(+1))
+        window.attach_keypress_callback("b", lambda: _cycle(-1))
+
     while True:
         size_changed, size_val = size_slider.read()
         ar_changed, use_ar = ar_toggle.read()
+        if file_changed:
+            image_path = carousel.current
+            new_img = cv2.imread(image_path)
+            if new_img is not None:
+                image_bgr = new_img
+                print(f"Loaded {osp.basename(image_path)}")
+            file_changed = False
+            size_changed = True
         if size_changed or ar_changed:
             depth_norm, plane = compute_depth_display(dpt_model, image_bgr, size_val, not use_ar)
             needs_render = True

@@ -31,6 +31,7 @@ def parse_args():
     parser.add_argument("-m", "--model_path", default=None, help="Path to DPT model weights")
     parser.add_argument("-cam", "--use_webcam", action="store_true", help="Use webcam 0")
     parser.add_argument("-s", "--display_size", default=800, type=int)
+    parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-b", "--base_size_px", default=None, type=int, help="Override model base size")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("-u", "--prefer_unstable_f16", action="store_true")
@@ -44,6 +45,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from muggled_dpt_tpu.demo_helpers.misc import select_device
+
+    select_device(args.device)
     reduce_overthreading()
 
     history = HistoryKeeper()
