@@ -95,7 +95,13 @@ class DPTModel:
                 )
                 return None
             fn = jax.jit(self._make_aux, static_argnums=(1,))
-            self._aux_cache[grid_hw] = fn(self.params, grid_hw)
+            aux = fn(self.params, grid_hw)
+            # store in the compute dtype (e.g. bf16): halves cache HBM cost
+            # and bandwidth; logits still accumulate in f32
+            aux = jax.tree_util.tree_map(
+                lambda a: a.astype(self._dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, aux
+            )
+            self._aux_cache[grid_hw] = aux
         return self._aux_cache[grid_hw]
 
     def clear_cache(self):

