@@ -29,6 +29,7 @@ def make_family_spec(config_dict: dict, version: int) -> dict:
         is_giant=config_dict.get("is_giant", False),
         taps=taps,
         attn_impl="pallas" if config_dict.get("enable_optimizations", True) else "xla",
+        unroll=config_dict.get("unroll_blocks", False),
     )
     patch_px = config_dict["patch_size_px"]
     is_metric = config_dict.get("is_metric", False)

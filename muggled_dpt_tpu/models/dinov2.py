@@ -39,6 +39,10 @@ class DinoV2Config:
     is_giant: bool = False
     taps: tuple[int, ...] = ()  # block indices whose outputs feed the DPT neck
     attn_impl: str = "xla"
+    # Unrolled blocks run ~12% faster on v5e (XLA fuses across layers) but
+    # compile ~7x slower per input shape (112 s vs 16 s for ViT-L) — off by
+    # default to keep interactive size-switching usable; turn on for serving.
+    unroll: bool = False
 
     @staticmethod
     def stage_taps(num_blocks: int) -> tuple[int, ...]:
@@ -100,16 +104,23 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: DinoV2Config, capt
 
     if not capture:
         outputs = []
-        start = 0
+        if cfg.unroll:
+            for i in range(cfg.num_blocks):
+                bp = jax.tree_util.tree_map(lambda a: a[i], stacked)
+                tokens = block_forward(tokens, bp, cfg)
+                if i in taps:
+                    outputs.append(tokens)
+        else:
+            start = 0
 
-        def body(tok, bp):
-            return block_forward(tok, bp, cfg), None
+            def body(tok, bp):
+                return block_forward(tok, bp, cfg), None
 
-        for t in taps:
-            seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)
-            tokens = lax.scan(body, tokens, seg)[0]
-            outputs.append(tokens)
-            start = t + 1
+            for t in taps:
+                seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)
+                tokens = lax.scan(body, tokens, seg)[0]
+                outputs.append(tokens)
+                start = t + 1
         outnorm = lambda x: layer_norm(x, params["outnorm_scale"], params["outnorm_bias"])
         return tuple(outnorm(o) for o in outputs)
 
