@@ -119,9 +119,15 @@ def load_pt(path: str):
                 return _Unpickler(io.BytesIO(f.read()), read_blob).load()
 
     # Legacy pickle format: delegate to torch (CPU map, mirrors make_dpt.py:38-41)
-    import torch
+    try:
+        import torch
 
-    obj = torch.load(path, map_location="cpu")
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as err:
+        raise ValueError(
+            f"Not a valid PyTorch checkpoint: {path} "
+            "(neither zip-format nor a loadable legacy pickle)"
+        ) from err
     return _torch_to_numpy_tree(obj)
 
 

@@ -49,7 +49,14 @@ def make_family_spec(config_dict: dict) -> dict:
     def forward_capture(params, image_nhwc, aux=None):
         tokens, grid = _embed(params, image_nhwc)
         stages, grids, internals = encoder_forward(params["encoder"], tokens, grid, enc_cfg, capture=True)
-        depth = _neck(params, stages, grids)
+        maps = []
+        for t, (gh, gw), p in zip(stages, grids, params["reassemble"]):
+            b, n, c = t.shape
+            maps.append(conv2d(t.reshape(b, gh, gw, c), p["fuse_kernel"], None, stride=1, padding=1))
+        internals["reassembly_maps"] = tuple(maps)
+        fused = fusion_forward(tuple(maps), params["fusion"])
+        internals["fused_map"] = fused
+        depth = head_forward(fused, params["head"], 2.0, is_metric=False)
         return depth, internals
 
     base_grid = config_dict["base_patch_grid_hw"]

@@ -132,6 +132,25 @@ def resize_matrix(in_size, out_size, mode="linear", align_corners=False, antiali
     return _resize_matrix_np(int(in_size), int(out_size), mode, bool(align_corners), bool(antialias))
 
 
+@functools.lru_cache(maxsize=512)
+def _linear_taps_np(in_size: int, out_size: int, align_corners: bool):
+    """Sparse 2-tap form of the non-antialiased linear resize: returns
+    (i0, i1, w0, w1) arrays of length out_size with exact torch semantics.
+    A dense matrix wastes in_size/2 x the FLOPs on what is a 2-tap gather."""
+    dst = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        scale = np.float32(in_size - 1) / np.float32(out_size - 1) if out_size > 1 else np.float32(0.0)
+        src = dst * scale
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        src = np.maximum(scale * (dst + np.float32(0.5)) - np.float32(0.5), 0.0)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    w0 = np.float32(1.0) - w1
+    return i0, i1, w0, w1
+
+
 def resize_output_size(in_hw, scale_factor: float) -> tuple[int, int]:
     """torch's output-size rule for interpolate(scale_factor=s): floor(in * s)."""
     return (int(np.floor(in_hw[0] * scale_factor)), int(np.floor(in_hw[1] * scale_factor)))
@@ -167,8 +186,31 @@ def resize_2d(
     orig_dtype = img_nhwc.dtype
     x = img_nhwc.astype(compute_dtype)
 
-    # precision='highest' keeps f32 matmul accuracy on the MXU (which would
-    # otherwise round through bf16 passes) — required for torch parity.
+    if mode_1d == "linear" and not antialias:
+        # sparse 2-tap gather + lerp: same exact weights, ~in_size/2 x fewer
+        # FLOPs than the dense matmul (dominates fusion/head upsampling cost)
+        if out_h != h:
+            i0, i1, w0, w1 = _linear_taps_np(h, out_h, align_corners)
+            x = (
+                jnp.take(x, jnp.asarray(i0), axis=1) * jnp.asarray(w0)[:, None, None]
+                + jnp.take(x, jnp.asarray(i1), axis=1) * jnp.asarray(w1)[:, None, None]
+            )
+        if out_w != w:
+            i0, i1, w0, w1 = _linear_taps_np(w, out_w, align_corners)
+            x = (
+                jnp.take(x, jnp.asarray(i0), axis=2) * jnp.asarray(w0)[:, None]
+                + jnp.take(x, jnp.asarray(i1), axis=2) * jnp.asarray(w1)[:, None]
+            )
+        x = x.astype(orig_dtype)
+        if squeeze == [0, -1]:
+            return x[0, :, :, 0]
+        if squeeze == [0]:
+            return x[0]
+        return x
+
+    # dense separable matmuls (bicubic / antialias). precision='highest'
+    # keeps f32 matmul accuracy on the MXU (which would otherwise round
+    # through bf16 passes) — required for torch parity.
     if out_h != h or antialias:
         wh = jnp.asarray(_resize_matrix_np(h, out_h, mode_1d, align_corners, antialias))
         x = jnp.einsum("oh,nhwc->nowc", wh, x, preferred_element_type=compute_dtype, precision="highest")

@@ -34,27 +34,41 @@ image_bchw = model.prepare_image_bgr(image_bgr)
 print(f"\nPre-processed image shape: {tuple(image_bchw.shape)}  (BCHW)")
 
 params = model.params
-enc_cfg = model.spec["encoder_config"]
 image_nhwc = jnp.asarray(image_bchw).transpose(0, 2, 3, 1)
 
-# 1) patch embedding
-tokens, grid_hw = patchify_embed(image_nhwc, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
-print(f"Patch tokens: {tuple(tokens.shape)}  (BxNxF), patch grid: {grid_hw}")
+is_depth_anything = "pretrained.blocks.0.ls1.gamma" not in config_dict.get("_model_type", "") and "features_per_stage" not in config_dict and "num_blocks" in config_dict and "is_giant" in config_dict
 
-# 2) image encoder (4 stage outputs)
-stages = dinov2.encoder_forward(params["encoder"], tokens, grid_hw, enc_cfg)
-for i, s in enumerate(stages, 1):
-    print(f"Encoder stage {i} tokens: {tuple(s.shape)}")
+if is_depth_anything:
+    # Depth-Anything: drive the five components individually
+    enc_cfg = model.spec["encoder_config"]
 
-# 3) reassembly (4 image-like maps at x4 / x2 / x1 / x0.5 of the patch grid)
-maps = dpt_neck.reassemble_forward(stages, grid_hw, params["reassemble"], depth_anything.REASSEMBLY_SCALES, readout="ignore")
-for i, m in enumerate(maps, 1):
-    print(f"Reassembly stage {i} map: {tuple(m.shape)}  (NHWC)")
+    # 1) patch embedding
+    tokens, grid_hw = patchify_embed(image_nhwc, params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
+    print(f"Patch tokens: {tuple(tokens.shape)}  (BxNxF), patch grid: {grid_hw}")
 
-# 4) fusion (single map at 8x patch grid)
-fused = dpt_neck.fusion_forward(maps, params["fusion"])
-print(f"Fused feature map: {tuple(fused.shape)}  (NHWC)")
+    # 2) image encoder (4 stage outputs)
+    stages = dinov2.encoder_forward(params["encoder"], tokens, grid_hw, enc_cfg)
+    for i, s in enumerate(stages, 1):
+        print(f"Encoder stage {i} tokens: {tuple(s.shape)}")
 
-# 5) head (inverse depth at ~input resolution)
-depth = dpt_neck.head_forward(fused, params["head"], config_dict["patch_size_px"] / 8, config_dict.get("is_metric", False))
-print(f"Inverse depth: {tuple(depth.shape)}  (BxHxW)")
+    # 3) reassembly (4 image-like maps at x4 / x2 / x1 / x0.5 of the patch grid)
+    maps = dpt_neck.reassemble_forward(stages, grid_hw, params["reassemble"], depth_anything.REASSEMBLY_SCALES, readout="ignore")
+    for i, m in enumerate(maps, 1):
+        print(f"Reassembly stage {i} map: {tuple(m.shape)}  (NHWC)")
+
+    # 4) fusion (single map at 8x patch grid)
+    fused = dpt_neck.fusion_forward(maps, params["fusion"])
+    print(f"Fused feature map: {tuple(fused.shape)}  (NHWC)")
+
+    # 5) head (inverse depth at ~input resolution)
+    depth = dpt_neck.head_forward(fused, params["head"], config_dict["patch_size_px"] / 8, config_dict.get("is_metric", False))
+    print(f"Inverse depth: {tuple(depth.shape)}  (BxHxW)")
+else:
+    # BEiT / SwinV2: surface the same intermediates via introspection mode
+    depth, internals = model.forward_with_internals(image_bchw)
+    for i, t in enumerate(internals["block_tokens"], 1):
+        print(f"Block {i} tokens: {tuple(t.shape)}")
+    for i, m in enumerate(internals["reassembly_maps"], 1):
+        print(f"Reassembly stage {i} map: {tuple(m.shape)}  (NHWC)")
+    print(f"Fused feature map: {tuple(internals['fused_map'].shape)}  (NHWC)")
+    print(f"Inverse depth: {tuple(depth.shape)}  (BxHxW)")
