@@ -4,6 +4,19 @@ A ground-up rebuild of the capabilities of heyoeyo/muggled_dpt for TPU:
 MiDaS v3.1 BEiT & SwinV2, Depth-Anything V1 & V2 (incl. metric + ViT-Giant),
 loading the original .pt/.pth checkpoints unchanged."""
 
+import os as _os
+
+# Some PJRT plugin environments override the JAX_PLATFORMS env var during
+# plugin registration; restore the expected semantics so `JAX_PLATFORMS=cpu`
+# reliably selects the CPU backend for tests/headless tooling.
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from .dpt import DPTModel
 from .make_dpt import make_dpt_from_state_dict
 from .make_depthanythingv1_dpt import (

@@ -1,0 +1,79 @@
+"""Smoke tests: the demo apps run end-to-end headless on the CPU backend."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+import cv2
+
+from conftest import REPO_ROOT
+
+from muggled_dpt_tpu.checkpoints.random_init import random_original_depth_anything_state_dict
+
+TINY = {
+    "features_per_token": 64,
+    "num_blocks": 4,
+    "reassembly_features_list": [8, 16, 32, 64],
+    "fusion_channels": 16,
+    "patch_size_px": 14,
+    "base_patch_grid_hw": (8, 8),
+}
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("apps")
+    sd = random_original_depth_anything_state_dict(TINY, seed=4)
+    ckpt = str(d / "depth_anything_v2_tiny.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    img_path = str(d / "img.png")
+    cv2.imwrite(img_path, img)
+    vid_path = str(d / "vid.mp4")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    for t in range(8):
+        vw.write(np.roll(img, 5 * t, axis=1))
+    vw.release()
+    return {"ckpt": ckpt, "img": img_path, "vid": vid_path, "dir": str(d)}
+
+
+def _run(args, cwd, timeout=300):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout
+    )
+
+
+def test_run_image_headless(fixtures):
+    r = _run(
+        [osp.join(REPO_ROOT, "run_image.py"), "-m", fixtures["ckpt"], "-i", fixtures["img"],
+         "--headless", "-d", "cpu", "-f32"],
+        cwd=fixtures["dir"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Saved:" in r.stdout
+    saved = os.listdir(osp.join(fixtures["dir"], "saved_results"))
+    assert any(f.endswith("_raw.npy") for f in saved)
+
+
+def test_run_video_headless(fixtures):
+    r = _run(
+        [osp.join(REPO_ROOT, "run_video.py"), "-m", fixtures["ckpt"], "-i", fixtures["vid"],
+         "--headless", "--max_frames", "10", "-sync", "-d", "cpu", "-f32"],
+        cwd=fixtures["dir"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_simple_example(fixtures):
+    r = _run(
+        [osp.join(REPO_ROOT, "simple_examples", "depth_prediction.py"), "-m", fixtures["ckpt"],
+         "-i", fixtures["img"], "--no_display"],
+        cwd=fixtures["dir"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Inverse depth shape" in r.stdout
