@@ -141,7 +141,7 @@ def cpb_bias(bp, window_hw, pretrained_window_size):
 # ---------------------------------------------------------------------------
 
 
-def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_shift_block, capture=False):
+def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_shift_block, capture=False, impl="xla"):
     """Windowed scaled-cosine attention on an image-like (B, H, W, C) tensor
     (windowed_attention.py:65-123)."""
     b, gh, gw, c = tokens_img.shape
@@ -164,24 +164,41 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     k = qkv[..., 1, :, :]
     v = qkv[..., 2, :, :] + bp["v_bias"].astype(x.dtype).reshape(num_heads, d)
 
-    # cosine attention in f32: normalized q/k, learned per-head scale
+    # cosine attention: normalized q/k in f32, learned per-head scale
     # (logit_scale stored pre-clamped+exp'd by the converter,
     # convert_midas_state_dict_keys.py:115-131)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     qf = qf * lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
     kf = kf * lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
-    logits = jnp.einsum("bwnhd,bwmhd->bwhnm", qf, kf, preferred_element_type=jnp.float32)
-    logits = logits * bp["logit_scale"].astype(jnp.float32).reshape(1, 1, num_heads, 1, 1)
 
-    logits = logits + cpb_bias(bp, (win_h, win_w), bp["_pretrained_window_size"])[None, None]
+    cpb = cpb_bias(bp, (win_h, win_w), bp["_pretrained_window_size"])  # (H, A, A) f32
+    mask = shift_mask_np((gh, gw), (win_h, win_w), (shift_h, shift_w)) if shifting else None
 
-    if shifting:
-        mask = shift_mask_np((gh, gw), (win_h, win_w), (shift_h, shift_w))
-        logits = logits + jnp.asarray(mask)[None, :, None, :, :]
+    use_kernel = False
+    if impl == "pallas" and not capture:
+        from ..ops.pallas.window_attention import window_flash_available
 
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bwhnm,bwmhd->bwnhd", weights.astype(v.dtype), v)
+        use_kernel = window_flash_available()
+
+    if use_kernel:
+        from ..ops.pallas.window_attention import window_flash_attention
+
+        # fold the logit scale into normalized q; kernel does dot+bias+softmax
+        q_scaled = (qf * bp["logit_scale"].astype(jnp.float32).reshape(num_heads, 1)).astype(x.dtype)
+        out = window_flash_attention(
+            q_scaled, kf.astype(x.dtype), v, cpb, None if mask is None else jnp.asarray(mask)
+        )
+        weights = None
+    else:
+        logits = jnp.einsum("bwnhd,bwmhd->bwhnm", qf, kf, preferred_element_type=jnp.float32)
+        logits = logits * bp["logit_scale"].astype(jnp.float32).reshape(1, 1, num_heads, 1, 1)
+        logits = logits + cpb[None, None]
+        if mask is not None:
+            logits = logits + jnp.asarray(mask)[None, :, None, :, :]
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bwhnm,bwmhd->bwnhd", weights.astype(v.dtype), v)
+
     out = out.reshape(b, nwy * nwx, area, c)
     out = linear(out, bp["proj_kernel"], bp["proj_bias"])
 
@@ -192,12 +209,12 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     return (out, weights) if capture else out
 
 
-def block_forward(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=False):
+def block_forward(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=False, impl="xla"):
     """Post-norm Swin block (image_encoder_model.py:213-225)."""
     if capture:
         h, attn_w = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=True)
     else:
-        h = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block)
+        h = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, impl=impl)
         attn_w = None
     h = layer_norm(h, bp["norm1_scale"], bp["norm1_bias"], eps=SWIN_LN_EPS)
     tokens_img = tokens_img + h
@@ -253,7 +270,7 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: SwinV2Config, capt
                 for key, is_shift in (("b0", False), ("b1", True)):
                     bp = dict(pair[key])
                     bp["_pretrained_window_size"] = pws
-                    y = block_forward(y, bp, heads, (gh, gw), cfg.window_size_hw, is_shift)
+                    y = block_forward(y, bp, heads, (gh, gw), cfg.window_size_hw, is_shift, impl=cfg.attn_impl)
                 return y, None
 
             if num_pairs > 1:
