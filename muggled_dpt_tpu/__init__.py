@@ -13,7 +13,9 @@ if _os.environ.get("JAX_PLATFORMS"):
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        # never override an explicit jax.config.update made by the caller
+        if _jax.config.jax_platforms is None:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
 
