@@ -269,6 +269,34 @@ class ImageDisplay(UIElement):
             self.last_click_xy_norm = (x / max(w, 1), y / max(h, 1))
 
 
+class HStack(UIElement):
+    """Horizontal row of elements sharing one bar height (reference
+    toadui/layout.py). Children split the width equally."""
+
+    def __init__(self, *elements, height=None):
+        self.elements = [e for e in elements if e is not None]
+        self.height = height or max((e.height for e in self.elements), default=34)
+
+    def render(self, width):
+        n = max(len(self.elements), 1)
+        widths = [width // n] * n
+        widths[-1] += width - sum(widths)
+        parts = []
+        for e, w in zip(self.elements, widths):
+            img = e.render(w)
+            if img.shape[0] != self.height:
+                img = cv2.resize(img, (w, self.height))
+            parts.append(img)
+        self._widths = widths
+        return np.hstack(parts)
+
+    def on_mouse(self, x, y, event, flags=0):
+        offs = np.cumsum([0] + getattr(self, "_widths", []))
+        for i, e in enumerate(self.elements):
+            if offs[i] <= x < offs[i + 1]:
+                e.on_mouse(x - offs[i], y, event, flags)
+
+
 class VStack:
     """Vertical layout + mouse routing (reference toadui/layout.py)."""
 

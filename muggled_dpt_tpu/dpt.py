@@ -108,6 +108,20 @@ class DPTModel:
         """Drop cached per-grid aux tensors (reference clear_relpos_cache)."""
         self._aux_cache.clear()
 
+    def prewarm(self, max_side_lengths, use_square_sizing=True, image_hw=(720, 1280)):
+        """Compile-ahead for a list of sizes so interactive size switching
+        (run_image's size slider) doesn't stall on first use. Returns the
+        scaled sizes that were warmed."""
+        warmed = []
+        dummy = np.zeros((*image_hw, 3), dtype=np.uint8)
+        for side in max_side_lengths:
+            scaled = self.compute_scaled_hw(image_hw, side, use_square_sizing)
+            if scaled in warmed:
+                continue
+            np.asarray(self.inference(dummy, side, use_square_sizing)[0, 0, 0])
+            warmed.append(scaled)
+        return warmed
+
     def forward(self, image_rgb_normalized_bchw):
         """Depth prediction on a preprocessed BCHW tensor -> (B, H, W)."""
         x = jnp.asarray(image_rgb_normalized_bchw).transpose(0, 2, 3, 1).astype(self._dtype)
