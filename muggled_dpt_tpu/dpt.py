@@ -201,7 +201,9 @@ def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5) -> bool:
         limit = stats.get("bytes_limit")
         in_use = stats.get("bytes_in_use", 0)
         if not limit:
-            return True
+            # stats unavailable (some PJRT plugins): assume a conservative
+            # 8 GB of headroom rather than allowing unbounded caches
+            return needed_bytes < 8 * 1024**3
         return needed_bytes < (limit - in_use) * safety_fraction
     except Exception:
         return True

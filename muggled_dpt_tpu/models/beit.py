@@ -134,11 +134,13 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: BEiTConfig, bias_s
     cls_tok = params["cls_token"].astype(patch_tokens.dtype)
     tokens = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, cfg.features)), patch_tokens], axis=1)
 
-    if bias_stack is None:
-        bias_stack = compute_bias_stack(params["blocks"]["relpos_lut"], cfg.base_grid_hw, patch_grid_hw)
-        bias_stack = bias_stack.astype(patch_tokens.dtype)
-    # bias stays in the compute dtype (bf16 halves HBM traffic for the
-    # 24-layer stack); the attention logits accumulate in f32 regardless.
+    # Cached mode: the precomputed (L, H, N, N) stack arrives in the compute
+    # dtype (bf16 halves HBM traffic); logits still accumulate in f32.
+    # Inline mode (enable_cache=False): the bias is generated per block INSIDE
+    # the scan from that block's LUT, so peak memory is one layer's (H, N, N)
+    # — the reference's cache-disabled behavior, which is what makes very
+    # large grids feasible (the full stack is ~13 GB at 1024^2 for L-24).
+    inline_bias = bias_stack is None
 
     stacked = {k: v for k, v in params["blocks"].items() if k != "relpos_lut"}
     taps = tuple((cfg.num_blocks // 4) * (i + 1) - 1 for i in range(4))
@@ -147,18 +149,33 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: BEiTConfig, bias_s
         outputs = []
         start = 0
 
-        def body(tok, xs):
-            bp, bias = xs
-            return block_forward(tok, bp, bias, cfg), None
+        if inline_bias:
+
+            def body(tok, xs):
+                bp, lut = xs
+                bias = compute_bias_stack(lut[None], cfg.base_grid_hw, patch_grid_hw)[0]
+                return block_forward(tok, bp, bias.astype(tok.dtype), cfg), None
+
+            bias_source = params["blocks"]["relpos_lut"]
+        else:
+
+            def body(tok, xs):
+                bp, bias = xs
+                return block_forward(tok, bp, bias, cfg), None
+
+            bias_source = bias_stack
 
         for t in taps:
             seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)
-            bias_seg = bias_stack[start : t + 1]
-            tokens = lax.scan(body, tokens, (seg, bias_seg))[0]
+            src_seg = bias_source[start : t + 1]
+            tokens = lax.scan(body, tokens, (seg, src_seg))[0]
             outputs.append(tokens)
             start = t + 1
         return tuple(outputs)
 
+    # capture mode (analysis, small inputs): full stack is fine
+    if inline_bias:
+        bias_stack = compute_bias_stack(params["blocks"]["relpos_lut"], cfg.base_grid_hw, patch_grid_hw)
     internals = {"block_tokens": [], "attention": []}
     outputs = []
     for i in range(cfg.num_blocks):
