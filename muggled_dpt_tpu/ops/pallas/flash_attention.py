@@ -99,9 +99,21 @@ def _flash_bhnd(q, k, v, bias=None, scale=None, block_q=None, block_k=None, inte
     scale = (d ** -0.5) if scale is None else scale
     # block-size heuristic (v5e measurements): per-step overhead dominates
     # small blocks, so moderate N takes the whole key range in ONE step
-    # (K/V fit VMEM comfortably below ~4k tokens); large N streams 512/1024.
+    # (K/V fit VMEM comfortably below ~4k tokens) and the q axis is split
+    # into the fewest <=768-row blocks that divide the 128-padded length —
+    # minimal padding waste (e.g. N=1297 -> 2 blocks of 704, not 3 of 512).
+    # Large N streams 512/1024.
     if block_q is None:
-        block_q = 512 if n >= 4096 else 256
+        if n >= 4096:
+            block_q = 512
+        else:
+            n_pad = _round_up(n, 128)
+            for k_splits in range(1, 16):
+                if n_pad % k_splits == 0 and (n_pad // k_splits) <= 768 and (n_pad // k_splits) % 8 == 0:
+                    block_q = n_pad // k_splits
+                    break
+            else:
+                block_q = 512
     if block_k is None:
         block_k = 1024 if n >= 4096 else _round_up(n, 128)
     block_q = min(block_q, _round_up(n, 128))
