@@ -146,9 +146,24 @@ def _torch_to_numpy_tree(obj):
     return obj
 
 
+def load_safetensors(path: str) -> dict:
+    """Load a .safetensors checkpoint to {name: ndarray} (some Depth-Anything
+    releases ship safetensors alongside the .pth files)."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out
+
+
 def load_state_dict(path: str) -> dict:
     """Load and unwrap a checkpoint to a flat {name: ndarray} state dict.
-    Unwraps common single-key containers ({'model': ...}, {'state_dict': ...})."""
+    Supports torch zip/legacy .pt/.pth and .safetensors files; unwraps common
+    single-key containers ({'model': ...}, {'state_dict': ...})."""
+    if str(path).lower().endswith(".safetensors"):
+        return load_safetensors(path)
     obj = load_pt(path)
     if isinstance(obj, dict):
         for wrapper in ("state_dict", "model"):

@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 
-VALID_WEIGHT_EXTS = (".pt", ".pth")
+VALID_WEIGHT_EXTS = (".pt", ".pth", ".safetensors")
 VALID_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 

@@ -61,3 +61,22 @@ def test_no_optimizations_path_matches(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m_opt.forward(x)), np.asarray(m_naive.forward(x)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_safetensors_checkpoint(tmp_path):
+    """.safetensors checkpoints load through the same auto-loader path."""
+    from safetensors.numpy import save_file
+    from muggled_dpt_tpu.checkpoints.random_init import random_original_depth_anything_state_dict
+    from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
+
+    cfg = {
+        "features_per_token": 64, "num_blocks": 4, "reassembly_features_list": [8, 16, 32, 64],
+        "fusion_channels": 16, "patch_size_px": 14, "base_patch_grid_hw": (8, 8),
+    }
+    sd = random_original_depth_anything_state_dict(cfg, seed=1)
+    path = str(tmp_path / "depth_anything_v2_tiny.safetensors")
+    save_file(sd, path)
+    config, model = make_dpt_from_state_dict(path)
+    assert config["features_per_token"] == 64
+    depth = np.asarray(model.inference(np.zeros((120, 160, 3), np.uint8)))
+    assert depth.shape == (1, 112, 112)
