@@ -71,6 +71,20 @@ def get_device_memory_stats() -> dict:
         return {}
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache so per-size executables
+    survive process restarts — first-compile of a large model takes 15-110 s,
+    so this is the difference between instant and painful app startup."""
+    cache_dir = cache_dir or os.path.join(os.path.expanduser("~"), ".cache", "muggled_dpt_tpu", "xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return cache_dir
+
+
 def reduce_overthreading() -> None:
     """Cap cv2/BLAS thread pools for interactive use (reference misc.py:143-168)."""
     try:

@@ -194,6 +194,9 @@ def main():
 
     select_device(args.device)
     reduce_overthreading()
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     history = HistoryKeeper()
     _, hist_input = history.read("input_path")
     _, hist_model = history.read("model_path")

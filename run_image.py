@@ -77,6 +77,9 @@ def main():
 
     select_device(args.device)
     reduce_overthreading()
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+
+    enable_compilation_cache()
 
     history = HistoryKeeper()
     _, hist_img = history.read("image_path")

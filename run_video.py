@@ -49,6 +49,9 @@ def main():
 
     select_device(args.device)
     reduce_overthreading()
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+
+    enable_compilation_cache()
 
     history = HistoryKeeper()
     _, hist_video = history.read("video_path")
