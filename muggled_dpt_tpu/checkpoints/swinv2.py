@@ -18,7 +18,7 @@ import math
 
 import numpy as np
 
-from .convert_common import t_conv, t_conv1x1_as_linear, t_linear, t_vec
+from .convert_common import t_conv, t_linear, t_vec
 from .beit import _convert_fusion, _convert_head  # same scratch.* layout as BEiT
 
 PRETRAINED_WINDOW_LUT = {16: (16, 16, 16, 8), 24: (12, 12, 12, 6)}

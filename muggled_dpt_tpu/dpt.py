@@ -13,7 +13,7 @@ GridCache machinery; async dispatch replaces torch's non_blocking copies."""
 
 from __future__ import annotations
 
-import functools
+
 
 import numpy as np
 import jax

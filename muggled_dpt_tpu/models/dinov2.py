@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.nn import layer_norm, linear, mlp_gelu, mlp_swiglu, self_attention
+from ..ops.nn import layer_norm, mlp_gelu, mlp_swiglu, self_attention
 from ..ops.resize import resize_2d
 
 

@@ -4,7 +4,7 @@ run_video-style throughput; pure ICI collectives, no host round-trips)."""
 
 from __future__ import annotations
 
-import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
