@@ -62,6 +62,21 @@ def device_memory_report() -> dict:
     return report
 
 
+def assert_finite(tree, name: str = "output"):
+    """Host-side NaN/inf guard for debugging (SURVEY.md §5 'race detection /
+    sanitizers' row: the reference removes infs post-hoc, postprocess.py:55-68;
+    this raises instead so bad numerics are caught at the source)."""
+    import numpy as np
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating) and not np.isfinite(arr).all():
+            pathstr = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            bad = int((~np.isfinite(arr)).sum())
+            raise FloatingPointError(f"{name}{'/' + pathstr if pathstr else ''}: {bad} non-finite values")
+    return tree
+
+
 class StepTimer:
     """EMA step-time / fps counter for streaming loops (the reference's
     on-frame ms overlay, run_video.py:383-384)."""

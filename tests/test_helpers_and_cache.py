@@ -107,3 +107,11 @@ def test_step_timer_and_memory_report():
     assert isinstance(device_memory_report(), dict)
     with trace_span("test-span"):
         pass
+
+
+def test_assert_finite_guard():
+    from muggled_dpt_tpu.utils.observability import assert_finite
+
+    assert_finite({"a": np.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError, match="bad/a"):
+        assert_finite({"a": np.array([1.0, np.inf])}, "bad")
