@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""On-hardware sanity sweep (run manually on a TPU; the pytest suite runs on
+CPU). Checks kernel-vs-XLA numerics on the real chip and smokes every family.
+
+Usage: python tools/tpu_sanity.py
+"""
+
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+    return ok
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev, "| platform:", dev.platform)
+    ok = True
+    rng = np.random.default_rng(0)
+
+    # flash attention vs XLA on hardware (moderate + large N, with bias)
+    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention
+
+    for n, with_bias in [(1297, False), (1025, True), (5185, False)]:
+        h, d = 8, 64
+        q = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.bfloat16)
+        bias = jnp.asarray(rng.standard_normal((1, h, n, n)), jnp.float32) if with_bias else None
+        got = np.asarray(flash_attention(q, k, v, bias=bias), np.float32)
+        ref = np.asarray(jax.nn.dot_product_attention(q, k, v, bias=bias), np.float32)
+        err = np.abs(got - ref).max()
+        ok &= check(f"flash_attention N={n} bias={with_bias}", err < 0.02, f"maxdiff {err:.4f}")
+
+    # window attention kernel vs einsum path on hardware
+    from muggled_dpt_tpu.ops.pallas.window_attention import window_flash_attention
+
+    b, nw, a, h, d = 1, 4, 150, 3, 32
+    q = jnp.asarray(rng.standard_normal((b, nw, a, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, nw, a, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, nw, a, h, d)), jnp.bfloat16)
+    cpb = jnp.asarray(rng.standard_normal((h, a, a)), jnp.float32)
+    mask = jnp.asarray(rng.choice([0.0, -100.0], size=(nw, a, a)).astype(np.float32))
+    got = np.asarray(window_flash_attention(q, k, v, cpb, mask), np.float32)
+    logits = jnp.einsum("bwnhd,bwmhd->bwhnm", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits + cpb[None, None] + mask[None, :, None]
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = np.asarray(jnp.einsum("bwhnm,bwmhd->bwnhd", w, v.astype(jnp.float32)), np.float32)
+    err = np.abs(got - ref).max()
+    ok &= check("window_flash_attention", err < 0.02, f"maxdiff {err:.4f}")
+
+    # family smokes (tiny random models, bf16)
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+    from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
+
+    img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    models = [
+        ("DA-V2", make_depthanythingv2_dpt(64, 1, 8, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.bfloat16)),
+        ("BEiT", make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.bfloat16)),
+        ("SwinV2", make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 4, 2), (16, 16), (4, 4), (None,) * 4, 16, dtype=jnp.bfloat16)),
+    ]
+    for name, m in models:
+        t0 = time.perf_counter()
+        depth = np.asarray(m.inference(img))
+        ok &= check(f"{name} smoke", np.isfinite(depth).all(), f"{depth.shape} in {time.perf_counter()-t0:.1f}s")
+
+    print("\nALL PASS" if ok else "\nFAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
