@@ -16,7 +16,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: int | None = None, data_parallel: int | None = None) -> Mesh:
     """Build a (data, model) mesh over the first n_devices. The model axis
-    gets the largest power-of-two factor up to 8 unless data_parallel pins it."""
+    gets the largest power-of-two factor up to 4 unless data_parallel pins it
+    (4 heads-per-shard minimum keeps the tensor-parallel matmuls MXU-sized)."""
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
