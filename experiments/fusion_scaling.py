@@ -53,7 +53,10 @@ def main():
     depth, internals = model.forward_with_internals(image_bchw)
     maps = internals["reassembly_maps"]
     params = model.params
-    head_upsample = config["patch_size_px"] / 8 if "patch_size_px" in config else 2.0
+    # head upsample factor comes from the family spec: P/8 for Depth-Anything
+    # but MiDaS-fixed 2.0 for BEiT/SwinV2 (v31_swinv2/head_model.py:43) —
+    # recomputing patch_size_px/8 here would yield 0.5 for SwinV2 (patch 4)
+    head_upsample = model.spec["head_upsample"]
     is_metric = bool(config.get("is_metric", False))
 
     def fused_depth(scales):

@@ -7,14 +7,16 @@ loading the original .pt/.pth checkpoints unchanged."""
 import os as _os
 
 # Some PJRT plugin environments override the JAX_PLATFORMS env var during
-# plugin registration; restore the expected semantics so `JAX_PLATFORMS=cpu`
-# reliably selects the CPU backend for tests/headless tooling.
+# plugin registration (e.g. rewriting it to "axon,cpu" at jax import, so a
+# JAX_PLATFORMS=cpu subprocess still grabs the exclusive TPU). Restore stock
+# JAX semantics: the env var wins whenever the registered config disagrees.
+# Only effective before backend initialization, i.e. when muggled_dpt_tpu is
+# imported before any jax computation — true for all apps/tools in this repo.
 if _os.environ.get("JAX_PLATFORMS"):
     import jax as _jax
 
     try:
-        # never override an explicit jax.config.update made by the caller
-        if _jax.config.jax_platforms is None:
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
             _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass

@@ -61,6 +61,7 @@ def make_family_spec(config_dict: dict) -> dict:
     return {
         "forward": forward,
         "forward_capture": forward_capture,
+        "head_upsample": 2.0,  # MiDaS-fixed (v31_beit/head_model.py:43)
         "make_aux": make_aux,
         "aux_bytes_estimate": aux_bytes_estimate,
         "mean_rgb": MEAN_RGB,

@@ -56,6 +56,7 @@ def make_family_spec(config_dict: dict, version: int) -> dict:
     return {
         "forward": forward,
         "forward_capture": forward_capture,
+        "head_upsample": head_upsample,  # P/8 (head_model.py:38-51)
         "mean_rgb": MEAN_RGB,
         "std_rgb": STD_RGB,
         "patch_size_px": patch_px,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.nn import conv2d, conv_transpose_blocky, linear
+from ..ops.nn import conv2d, conv_transpose_blocky, gelu, linear
 from ..ops.resize import resize_2d, resize_output_size
 import jax
 
@@ -30,7 +30,7 @@ def readout_project(tokens_bnc, cls_bc, p):
     cls_expand = jnp.broadcast_to(cls_bc[:, None, :], (b, n, c))
     merged = jnp.concatenate([tokens_bnc, cls_expand], axis=-1)
     h = linear(merged, p["kernel"], p["bias"])
-    return jax.nn.gelu(h, approximate=False)
+    return gelu(h)
 
 
 def reassemble_stage(tokens, patch_grid_hw, p, scale, readout: str):

@@ -136,14 +136,53 @@ def cpb_bias(bp, window_hw, pretrained_window_size):
     return 16.0 * jax.nn.sigmoid(bias.transpose(2, 0, 1))
 
 
+def compute_cpb_stack(encoder_params, patch_grid_hw, cfg: SwinV2Config):
+    """Precompute the CPB bias of EVERY block for one patch grid, stacked per
+    stage for consumption by the pair-scan — the cross-frame cache equivalent
+    of the reference's three CPB GridCaches (relative_positional_encoder.py:
+    49-51,97-117; ~30-40% video speedup claimed at
+    v31_swinv2/components/README.md:111). Without it the CPB MLP + gather
+    would re-run inside the scan on every forward.
+
+    Returns a list of 4 per-stage pytrees {"b0": (P, H, A, A), "b1": ...}."""
+    gh, gw = patch_grid_hw
+    aux = []
+    for s in range(4):
+        if s > 0:
+            gh, gw = gh // 2, gw // 2
+        window_hw, _ = window_plan((gh, gw), cfg.window_size_hw)
+        pws = cfg.pretrained_window_sizes[s]
+        stage_pairs = encoder_params["stages"][s]
+        stage_aux = {}
+        for key in ("b0", "b1"):
+            bps = {k: stage_pairs[key][k] for k in ("cpb0_kernel", "cpb0_bias", "cpb1_kernel")}
+            stage_aux[key] = jax.vmap(lambda bp: cpb_bias(bp, window_hw, pws))(bps)
+        aux.append(stage_aux)
+    return aux
+
+
+def cpb_stack_bytes(cfg: SwinV2Config, patch_grid_hw, bytes_per_el: int = 4) -> int:
+    """HBM cost of the full CPB cache for one grid (all stages/blocks)."""
+    gh, gw = patch_grid_hw
+    total = 0
+    for s in range(4):
+        if s > 0:
+            gh, gw = gh // 2, gw // 2
+        (win_h, win_w), _ = window_plan((gh, gw), cfg.window_size_hw)
+        area = win_h * win_w
+        total += cfg.layers_per_stage[s] * cfg.heads_per_stage[s] * area * area * bytes_per_el
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Attention / blocks
 # ---------------------------------------------------------------------------
 
 
-def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_shift_block, capture=False, impl="xla"):
+def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_shift_block, capture=False, impl="xla", cpb=None):
     """Windowed scaled-cosine attention on an image-like (B, H, W, C) tensor
-    (windowed_attention.py:65-123)."""
+    (windowed_attention.py:65-123). cpb: optional precomputed (H, A, A) bias
+    from compute_cpb_stack; when None it is computed in-graph."""
     b, gh, gw, c = tokens_img.shape
     d = c // num_heads
     (win_h, win_w), (shift_h, shift_w) = window_plan((gh, gw), target_window_hw)
@@ -172,7 +211,8 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     qf = qf * lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
     kf = kf * lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
 
-    cpb = cpb_bias(bp, (win_h, win_w), bp["_pretrained_window_size"])  # (H, A, A) f32
+    if cpb is None:
+        cpb = cpb_bias(bp, (win_h, win_w), bp["_pretrained_window_size"])  # (H, A, A) f32
     mask = shift_mask_np((gh, gw), (win_h, win_w), (shift_h, shift_w)) if shifting else None
 
     use_kernel = False
@@ -193,7 +233,7 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     else:
         logits = jnp.einsum("bwnhd,bwmhd->bwhnm", qf, kf, preferred_element_type=jnp.float32)
         logits = logits * bp["logit_scale"].astype(jnp.float32).reshape(1, 1, num_heads, 1, 1)
-        logits = logits + cpb[None, None]
+        logits = logits + cpb.astype(jnp.float32)[None, None]
         if mask is not None:
             logits = logits + jnp.asarray(mask)[None, :, None, :, :]
         weights = jax.nn.softmax(logits, axis=-1)
@@ -209,12 +249,12 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     return (out, weights) if capture else out
 
 
-def block_forward(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=False, impl="xla"):
+def block_forward(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=False, impl="xla", cpb=None):
     """Post-norm Swin block (image_encoder_model.py:213-225)."""
     if capture:
-        h, attn_w = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=True)
+        h, attn_w = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, capture=True, cpb=cpb)
     else:
-        h = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, impl=impl)
+        h = window_attention(tokens_img, bp, num_heads, grid_hw, window_hw, is_shift_block, impl=impl, cpb=cpb)
         attn_w = None
     h = layer_norm(h, bp["norm1_scale"], bp["norm1_bias"], eps=SWIN_LN_EPS)
     tokens_img = tokens_img + h
@@ -235,9 +275,11 @@ def patch_merge(tokens_img, mp):
     return layer_norm(x, mp["norm_scale"], mp["norm_bias"], eps=SWIN_LN_EPS)
 
 
-def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: SwinV2Config, capture: bool = False):
+def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: SwinV2Config, capture: bool = False, aux=None):
     """SwinV2 4-output encoder (image_encoder_model.py:77-98). Outputs are
-    'rows of tokens' at grids g, g/2, g/4, g/8 with C, 2C, 4C, 8C features."""
+    'rows of tokens' at grids g, g/2, g/4, g/8 with C, 2C, 4C, 8C features.
+    aux: optional precomputed CPB bias stacks from compute_cpb_stack; when
+    given, the CPB MLP + gather are skipped entirely per forward."""
     b = patch_tokens.shape[0]
     gh, gw = patch_grid_hw
     x = patch_tokens.reshape(b, gh, gw, -1)
@@ -252,32 +294,38 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: SwinV2Config, capt
         heads = cfg.heads_per_stage[s]
         pws = cfg.pretrained_window_sizes[s]
         stage_pairs = params["stages"][s]  # stacked over pairs
+        stage_aux = None if aux is None else aux[s]
         num_pairs = cfg.layers_per_stage[s] // 2
 
         if capture:
             for i in range(num_pairs):
                 pair = jax.tree_util.tree_map(lambda a: a[i], stage_pairs)
+                pair_aux = None if stage_aux is None else jax.tree_util.tree_map(lambda a: a[i], stage_aux)
                 for key, is_shift in (("b0", False), ("b1", True)):
                     bp = dict(pair[key])
                     bp["_pretrained_window_size"] = pws
-                    x, attn_w = block_forward(x, bp, heads, (gh, gw), cfg.window_size_hw, is_shift, capture=True)
+                    cpb = None if pair_aux is None else pair_aux[key]
+                    x, attn_w = block_forward(x, bp, heads, (gh, gw), cfg.window_size_hw, is_shift, capture=True, cpb=cpb)
                     internals["block_tokens"].append(x.reshape(b, gh * gw, -1))
                     internals["attention"].append(attn_w)
         else:
 
-            def pair_body(carry, pair, heads=heads, gh=gh, gw=gw, pws=pws):
+            def pair_body(carry, xs, heads=heads, gh=gh, gw=gw, pws=pws, cached=stage_aux is not None):
+                pair, pair_aux = xs if cached else (xs, None)
                 y = carry
                 for key, is_shift in (("b0", False), ("b1", True)):
                     bp = dict(pair[key])
                     bp["_pretrained_window_size"] = pws
-                    y = block_forward(y, bp, heads, (gh, gw), cfg.window_size_hw, is_shift, impl=cfg.attn_impl)
+                    cpb = None if pair_aux is None else pair_aux[key]
+                    y = block_forward(y, bp, heads, (gh, gw), cfg.window_size_hw, is_shift, impl=cfg.attn_impl, cpb=cpb)
                 return y, None
 
+            xs = stage_pairs if stage_aux is None else (stage_pairs, stage_aux)
             if num_pairs > 1:
-                x = lax.scan(pair_body, x, stage_pairs)[0]
+                x = lax.scan(pair_body, x, xs)[0]
             else:
-                pair = jax.tree_util.tree_map(lambda a: a[0], stage_pairs)
-                x = pair_body(x, pair)[0]
+                first = jax.tree_util.tree_map(lambda a: a[0], xs)
+                x = pair_body(x, first)[0]
 
         outputs.append(x.reshape(b, gh * gw, -1))
         grids.append((gh, gw))

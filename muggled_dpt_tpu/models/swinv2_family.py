@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from ..ops.nn import conv2d, layer_norm, patchify_embed
 from .dpt_neck import fusion_forward, head_forward
-from .swinv2 import SWIN_LN_EPS, SwinV2Config, encoder_forward
+from .swinv2 import SWIN_LN_EPS, SwinV2Config, compute_cpb_stack, cpb_stack_bytes, encoder_forward
 
 # MiDaS normalization (v31_swinv2/patch_embed.py:39-40)
 MEAN_RGB = (0.5, 0.5, 0.5)
@@ -43,12 +43,12 @@ def make_family_spec(config_dict: dict) -> dict:
 
     def forward(params, image_nhwc, aux=None):
         tokens, grid = _embed(params, image_nhwc)
-        stages, grids = encoder_forward(params["encoder"], tokens, grid, enc_cfg)
+        stages, grids = encoder_forward(params["encoder"], tokens, grid, enc_cfg, aux=aux)
         return _neck(params, stages, grids)
 
     def forward_capture(params, image_nhwc, aux=None):
         tokens, grid = _embed(params, image_nhwc)
-        stages, grids, internals = encoder_forward(params["encoder"], tokens, grid, enc_cfg, capture=True)
+        stages, grids, internals = encoder_forward(params["encoder"], tokens, grid, enc_cfg, capture=True, aux=aux)
         maps = []
         for t, (gh, gw), p in zip(stages, grids, params["reassemble"]):
             b, n, c = t.shape
@@ -59,10 +59,22 @@ def make_family_spec(config_dict: dict) -> dict:
         depth = head_forward(fused, params["head"], 2.0, is_metric=False)
         return depth, internals
 
+    def make_aux(params, grid_hw):
+        """Per-grid CPB bias stacks — the cross-frame cache equivalent of the
+        reference's CPB GridCaches (cached by DPTModel keyed on grid;
+        reference speedup claim: v31_swinv2/components/README.md:111)."""
+        return compute_cpb_stack(params["encoder"], grid_hw, enc_cfg)
+
+    def aux_bytes_estimate(config, grid_hw):
+        return cpb_stack_bytes(enc_cfg, grid_hw)
+
     base_grid = config_dict["base_patch_grid_hw"]
     return {
         "forward": forward,
         "forward_capture": forward_capture,
+        "head_upsample": 2.0,  # MiDaS-fixed (v31_swinv2/head_model.py:43)
+        "make_aux": make_aux,
+        "aux_bytes_estimate": aux_bytes_estimate,
         "mean_rgb": MEAN_RGB,
         "std_rgb": STD_RGB,
         "patch_size_px": patch_px,

@@ -45,10 +45,25 @@ def linear(x, kernel, bias=None):
     return y
 
 
+def gelu(x):
+    """GELU matching torch nn.GELU (exact/erf) at the working precision.
+
+    In float32 this is the exact erf form. In bfloat16 the tanh form is used:
+    its max deviation from exact GELU (~3e-3, near |x|≈2) is several times
+    SMALLER than bf16 rounding at those magnitudes (ulp ≈ 1.6e-2 at x=2), so
+    the results are indistinguishable at storage precision — while XLA's erf
+    costs ~14x more VPU time than tanh on v5e (92.6 vs 6.4 us at the ViT-L MLP
+    hidden shape; tools/attn_variants.py round-2 profiling). Parity tests run
+    f32 and see the exact form; reference: v2_depthanything misc_helpers.py:88-120.
+    """
+    exact = x.dtype != jnp.bfloat16
+    return jax.nn.gelu(x, approximate=not exact)
+
+
 def mlp_gelu(x, p):
-    """Linear -> GELU(exact/erf, matching torch nn.GELU default) -> Linear."""
+    """Linear -> GELU -> Linear."""
     h = linear(x, p["fc1_kernel"], p["fc1_bias"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu(h)
     return linear(h, p["fc2_kernel"], p["fc2_bias"])
 
 

@@ -6,16 +6,31 @@ Serves the attention flavors in this framework (SURVEY.md §7 kernel ①/③):
 * (SwinV2 windows use the XLA path; window areas are small enough that the
   materialized logits already live in VMEM-sized tiles.)
 
-Design (FlashAttention-2 work partitioning, arXiv:2307.08691): grid over
-(batch*head, query-block, key-block). K/V stream through VMEM one block per
-grid step (double-buffered by the pallas pipeline), online-softmax running
-(max, sum, accumulator) state lives in VMEM scratch that persists across the
-key-block axis — the N x N logit matrix never exists in HBM and VMEM usage is
-independent of sequence length. Softmax math is f32 on the VPU; both matmuls
-per step hit the MXU with f32 accumulation. Inputs are padded to block
-multiples; padded key columns are masked with -inf (shapes are trace-time
-constants). Measured on v5e at N=5185, H=16, D=64: ~3.5 ms vs ~13.8 ms for
-XLA's fused attention."""
+Two kernels, picked by sequence length:
+
+ONE-PASS (N_pad <= ONE_PASS_MAX_KV): the whole key range fits one VMEM block,
+so there is no online-softmax state at all — plain max/exp/sum over the full
+logit row, no scratch, no correction passes. Padded key columns get a -inf
+iota mask (an analytic pad-count correction was measured ~2 us faster but
+cancels catastrophically when every real logit is far below 0 — e.g. strongly
+negative additive biases — so the robust mask stays; the failure is pinned by
+tests/test_flash_attention.py::test_flash_all_logits_negative).
+
+ONLINE (larger N): FlashAttention-2 work partitioning (arXiv:2307.08691),
+grid over (batch*head, query-block, key-block), running (max, sum, acc) in
+VMEM scratch persisting across the key axis — the N x N logit matrix never
+exists in HBM and VMEM use is independent of N.
+
+Both kernels take q PRE-SCALED by the softmax scale (folded into XLA's
+preceding ops), so the kernel never multiplies the (BQ, BK) logit tile by a
+scalar. Matmuls run in the storage dtype (bf16 hits the MXU at full rate)
+with f32 accumulation; softmax math is f32 on the VPU.
+
+Measured (v5e, N=1297, H=16, D=64, bf16, per 16-head op, in-graph):
+one-pass 113 us vs 139 us for the round-1 online kernel vs 332 us for XLA's
+dot_product_attention; the bare matmul pair costs ~100 us, so the one-pass
+kernel is within ~12% of the MXU floor for this shape (tools/attn_variants.py).
+"""
 
 from __future__ import annotations
 
@@ -36,6 +51,12 @@ except ImportError:  # pragma: no cover
 
 NEG_INF = -1e30
 
+# One-pass cutoff: the f32 logit block (block_q x N_pad) plus q/k/v/o must fit
+# VMEM. At 2048 keys a whole-N q-block costs 2048*2048*4 = 16.8 MB — comfortable.
+ONE_PASS_MAX_KV = 2048
+# Cap the one-pass q-block so the logit tile stays <= ~16 MB.
+ONE_PASS_LOGIT_BYTES = 16 * 1024 * 1024
+
 
 def flash_attention_available() -> bool:
     try:
@@ -44,7 +65,37 @@ def flash_attention_available() -> bool:
         return False
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, scale, bias_ref=None):
+# ---------------------------------------------------------------------------
+# one-pass kernel (whole key range in one block)
+# ---------------------------------------------------------------------------
+
+
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, bias_ref=None):
+    q = q_ref[0]  # (BQ, D), pre-scaled
+    k = k_ref[0]  # (KV_pad, D), zero-padded
+    v = v_ref[0]
+    s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    kv_pad = s.shape[1]
+    if kv_len < kv_pad:
+        col = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# online-softmax kernel (keys streamed in blocks)
+# ---------------------------------------------------------------------------
+
+
+def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, bias_ref=None):
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -54,20 +105,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # matmuls take the inputs in their storage dtype (bf16 hits the MXU at
-    # full rate) and accumulate f32; scaling happens on the f32 logits
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), pre-scaled
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]
     block_q = q.shape[0]
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK) f32
+    s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if bias_ref is not None:
         s = s + bias_ref[0].astype(jnp.float32)
-    # padding mask is only relevant in the final key block (static shapes);
-    # skipping it elsewhere trims the VPU work that bounds this kernel
+    # padding mask is only relevant in the final key block (static shapes)
     if kv_len % block_k != 0:
         boundary_block = kv_len // block_k
         col = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -79,8 +125,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_
     correction = jnp.exp(m_prev - m_new)
     l_ref[:, :1] = l_ref[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
     m_ref[:, :1] = m_new
-    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    acc_ref[:] = acc_ref[:] * correction + lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(ki == num_k - 1)
@@ -92,32 +138,55 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_bhnd(q, k, v, bias=None, scale=None, block_q=None, block_k=None, interpret=False):
-    """q/k/v: (BH, N, D) -> (BH, N, D). bias: optional (BH, N, N)."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interpret=False):
+    """q/k/v: (BH, N, D), q already multiplied by the softmax scale.
+    bias: optional (BH, N, N). Returns (BH, N, D)."""
     bh, n, d = q.shape
-    scale = (d ** -0.5) if scale is None else scale
-    # block-size heuristic (v5e measurements): per-step overhead dominates
-    # small blocks, so moderate N takes the whole key range in ONE step
-    # (K/V fit VMEM comfortably below ~4k tokens) and the q axis is split
-    # into the fewest <=768-row blocks that divide the 128-padded length —
-    # minimal padding waste (e.g. N=1297 -> 2 blocks of 704, not 3 of 512).
-    # Large N streams 512/1024.
+    n_pad128 = _round_up(n, 128)
+
+    if n_pad128 <= ONE_PASS_MAX_KV:
+        # ---- one-pass: whole key range per program ----
+        if block_q is None:
+            block_q = min(n_pad128, max(128, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128))
+        block_q = min(block_q, n_pad128)
+        n_pad_q = _round_up(n, block_q)
+        qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, n_pad128 - n), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, n_pad128 - n), (0, 0)))
+        grid = (bh, n_pad_q // block_q)
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_pad128, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, n_pad128, d), lambda b, i: (b, 0, 0)),
+        ]
+        args = [qp, kp, vp]
+        kernel = functools.partial(_onepass_kernel, kv_len=n)
+        if bias is not None:
+            bp = jnp.pad(bias, ((0, 0), (0, n_pad_q - n), (0, n_pad128 - n)))
+            in_specs.append(pl.BlockSpec((1, block_q, n_pad128), lambda b, i: (b, i, 0)))
+            args.append(bp)
+
+            def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+                _onepass_kernel(q_ref, k_ref, v_ref, o_ref, kv_len=n, bias_ref=b_ref)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
+            interpret=interpret,
+        )(*args)
+        return out[:, :n, :]
+
+    # ---- online: keys streamed in blocks ----
     if block_q is None:
-        if n >= 4096:
-            block_q = 512
-        else:
-            n_pad = _round_up(n, 128)
-            for k_splits in range(1, 16):
-                if n_pad % k_splits == 0 and (n_pad // k_splits) <= 768 and (n_pad // k_splits) % 8 == 0:
-                    block_q = n_pad // k_splits
-                    break
-            else:
-                block_q = 512
+        block_q = 512
     if block_k is None:
-        block_k = 1024 if n >= 4096 else _round_up(n, 128)
-    block_q = min(block_q, _round_up(n, 128))
-    block_k = min(block_k, _round_up(n, 128))
+        block_k = 1024
+    block_q = min(block_q, n_pad128)
+    block_k = min(block_k, n_pad128)
     n_pad_q = _round_up(n, block_q)
     n_pad_k = _round_up(n, block_k)
 
@@ -132,16 +201,16 @@ def _flash_bhnd(q, k, v, bias=None, scale=None, block_q=None, block_k=None, inte
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
     ]
     args = [qp, kp, vp]
-    kernel = functools.partial(_kernel, kv_len=n, block_k=block_k, scale=scale)
+    kernel = functools.partial(_online_kernel, kv_len=n, block_k=block_k)
     if bias is not None:
         bp = jnp.pad(bias, ((0, 0), (0, n_pad_q - n), (0, n_pad_k - n)))
         in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
         args.append(bp)
 
         def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, l_ref, acc_ref):
-            _kernel(
+            _online_kernel(
                 q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                kv_len=n, block_k=block_k, scale=scale, bias_ref=b_ref,
+                kv_len=n, block_k=block_k, bias_ref=b_ref,
             )
 
     out = pl.pallas_call(
@@ -160,14 +229,25 @@ def _flash_bhnd(q, k, v, bias=None, scale=None, block_q=None, block_k=None, inte
     return out[:, :n, :]
 
 
+def _flash_bhnd(q, k, v, bias=None, scale=None, interpret=False, **block_kw):
+    """(BH, N, D) flash attention; q in natural (unscaled) form."""
+    d = q.shape[-1]
+    s = (d ** -0.5) if scale is None else scale
+    qs = (q.astype(jnp.float32) * s).astype(q.dtype)
+    return _flash_bhnd_prescaled(qs, k, v, bias, interpret=interpret, **block_kw)
+
+
 def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     """Drop-in for jax.nn.dot_product_attention with (B, N, H, D) layout and
     optional additive bias broadcastable to (B, H, N, N)."""
     b, n, h, d = q.shape
+    s = (d ** -0.5) if scale is None else scale
+    # fold the softmax scale into q here so XLA fuses it with the transpose
+    qs = (q.astype(jnp.float32) * s).astype(q.dtype)
     to_bhnd = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    qb, kb, vb = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    qb, kb, vb = to_bhnd(qs), to_bhnd(k), to_bhnd(v)
     bias_b = None
     if bias is not None:
         bias_b = jnp.broadcast_to(bias, (b, h, n, n)).reshape(b * h, n, n)
-    out = _flash_bhnd(qb, kb, vb, bias_b, scale=scale, interpret=interpret)
+    out = _flash_bhnd_prescaled(qb, kb, vb, bias_b, interpret=interpret)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

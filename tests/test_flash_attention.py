@@ -34,6 +34,37 @@ def test_flash_matches_naive(n, with_bias):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_online_path(with_bias):
+    """N above the one-pass cutoff exercises the streamed-key online kernel
+    (scratch state + per-block correction + tail masking)."""
+    from muggled_dpt_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(2)
+    b, n, h, d = 1, fa.ONE_PASS_MAX_KV + 100, 1, 16
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, n, n)), jnp.float32) if with_bias else None
+    ref = np.asarray(_naive(q, k, v, bias))
+    got = np.asarray(flash_attention(q, k, v, bias=bias, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_all_logits_negative():
+    """The mask-free padding trick shifts by max(logits, 0); strongly negative
+    logit rows must still normalize correctly."""
+    rng = np.random.default_rng(3)
+    n = 130  # pads to 256 -> exercises the analytic pad correction
+    q = jnp.asarray(rng.standard_normal((1, n, 1, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, 1, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, 1, 16)), jnp.float32)
+    bias = jnp.full((1, 1, n, n), -40.0, jnp.float32)  # all real logits << 0
+    ref = np.asarray(_naive(q, k, v, bias))
+    got = np.asarray(flash_attention(q, k, v, bias=bias, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_flash_custom_scale():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.standard_normal((1, 100, 2, 16)), jnp.float32)

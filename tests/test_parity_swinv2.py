@@ -80,6 +80,24 @@ def test_cpb_bias_matches_reference():
     np.testing.assert_allclose(ours, ref_bias[0], rtol=1e-4, atol=1e-5)
 
 
+def test_cpb_cache_matches_uncached(tmp_path):
+    """The per-grid CPB cache (make_aux / compute_cpb_stack) must be
+    numerically identical to the in-scan per-forward CPB computation."""
+    sd = random_original_state_dict(TINY_CFG, seed=5)
+    path = _save_pt(sd, tmp_path / "swin2_tiny_256.pt")
+    rng = np.random.default_rng(3)
+    image_bgr = rng.integers(0, 256, size=(130, 170, 3), dtype=np.uint8)
+
+    _, model = make_dpt_from_state_dict(path)
+    assert model.spec.get("make_aux") is not None
+    model.config["enable_cache"] = True
+    cached = np.asarray(model.inference(image_bgr, 96, False))
+    assert model._aux_cache, "cache should have been populated"
+    model.config["enable_cache"] = False
+    uncached = np.asarray(model.inference(image_bgr, 96, False))
+    np.testing.assert_allclose(cached, uncached, rtol=1e-5, atol=1e-6)
+
+
 @needs_reference
 @pytest.mark.parametrize("square,side", [(True, 64), (False, 96)])
 def test_e2e_parity_vs_torch_reference(tmp_path, square, side):
