@@ -16,6 +16,7 @@ import math
 import numpy as np
 
 from .convert_common import (
+    qkv_head_major,
     stack_blocks,
     t_conv,
     t_conv1x1_as_linear,
@@ -61,7 +62,7 @@ def _convert_encoder(sd: dict, cfg: dict) -> dict:
             {
                 "norm1_scale": t_vec(sd[f"{pre}.norm1.weight"]),
                 "norm1_bias": t_vec(sd[f"{pre}.norm1.bias"]),
-                "qkv_kernel": t_linear(sd[f"{pre}.attn.qkv.weight"]),
+                "qkv_kernel": qkv_head_major(t_linear(sd[f"{pre}.attn.qkv.weight"]), cfg["num_heads"]),
                 "q_bias": t_vec(sd[f"{pre}.attn.q_bias"]).reshape(-1),
                 "v_bias": t_vec(sd[f"{pre}.attn.v_bias"]).reshape(-1),
                 "proj_kernel": t_linear(sd[f"{pre}.attn.proj.weight"]),

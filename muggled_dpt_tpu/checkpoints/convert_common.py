@@ -32,6 +32,26 @@ def t_vec(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.astype(F32))
 
 
+def qkv_head_major(kernel: np.ndarray, num_heads: int) -> np.ndarray:
+    """Reorder a fused qkv Linear kernel's output columns from torch's
+    [q|k|v][head][dim] to head-major [head][q|k|v][dim], so each head's
+    q/k/v land contiguous in the projection output — the flash kernel then
+    reads one dense (N, 3D) slab per head straight from the qkv matmul
+    output, with no transposes (ops/pallas/flash_attention.py)."""
+    cin, c3 = kernel.shape
+    d = c3 // 3 // num_heads
+    return np.ascontiguousarray(
+        kernel.reshape(cin, 3, num_heads, d).transpose(0, 2, 1, 3).reshape(cin, c3)
+    )
+
+
+def qkv_vec_head_major(vec: np.ndarray, num_heads: int) -> np.ndarray:
+    """Same [q|k|v][head][dim] -> [head][q|k|v][dim] reorder for a bias vector."""
+    c3 = vec.shape[-1]
+    d = c3 // 3 // num_heads
+    return np.ascontiguousarray(vec.reshape(3, num_heads, d).transpose(1, 0, 2).reshape(c3))
+
+
 def stack_blocks(per_block_dicts: list[dict]) -> dict:
     """Stack a list of identical per-block param dicts along a leading layer
     axis (the lax.scan layout)."""

@@ -19,6 +19,8 @@ import math
 import numpy as np
 
 from .convert_common import (
+    qkv_head_major,
+    qkv_vec_head_major,
     stack_blocks,
     t_conv,
     t_conv1x1_as_linear,
@@ -85,8 +87,8 @@ def _convert_encoder(sd: dict, cfg: dict) -> dict:
         bp = {
             "norm1_scale": t_vec(sd[f"{pre}.norm1.weight"]),
             "norm1_bias": t_vec(sd[f"{pre}.norm1.bias"]),
-            "qkv_kernel": t_linear(sd[f"{pre}.attn.qkv.weight"]),
-            "qkv_bias": t_vec(sd[f"{pre}.attn.qkv.bias"]),
+            "qkv_kernel": qkv_head_major(t_linear(sd[f"{pre}.attn.qkv.weight"]), cfg["num_heads"]),
+            "qkv_bias": qkv_vec_head_major(t_vec(sd[f"{pre}.attn.qkv.bias"]), cfg["num_heads"]),
             "proj_kernel": t_linear(sd[f"{pre}.attn.proj.weight"]),
             "proj_bias": t_vec(sd[f"{pre}.attn.proj.bias"]),
             "ls1": t_vec(sd[f"{pre}.ls1.gamma"]),

@@ -99,9 +99,17 @@ def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw):
 def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
     """Pre-norm block with additive attention bias (image_encoder_model.py:233-251).
     The k-bias is structurally zero (image_encoder_model.py:293-298): q/v biases
-    are fused into a standard qkv bias vector with a zero k segment."""
-    f = cfg.features
-    qkv_bias = jnp.concatenate([bp["q_bias"], jnp.zeros((f,), bp["q_bias"].dtype), bp["v_bias"]])
+    are fused into a head-major [head][q|k|v][dim] qkv bias with zero k slots
+    (matching the qkv kernel column order, checkpoints/convert_common.py)."""
+    h, d = cfg.num_heads, cfg.features // cfg.num_heads
+    qkv_bias = jnp.concatenate(
+        [
+            bp["q_bias"].reshape(h, 1, d),
+            jnp.zeros((h, 1, d), bp["q_bias"].dtype),
+            bp["v_bias"].reshape(h, 1, d),
+        ],
+        axis=1,
+    ).reshape(3 * cfg.features)
     attn_params = {
         "qkv_kernel": bp["qkv_kernel"],
         "qkv_bias": qkv_bias,

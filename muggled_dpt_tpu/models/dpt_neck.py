@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.nn import conv2d, conv_transpose_blocky, gelu, linear
+from ..ops.nn import conv2d, conv3x3_shiftsum, conv_transpose_blocky, gelu, linear
 from ..ops.resize import resize_2d, resize_output_size
 import jax
 
@@ -107,7 +107,8 @@ def head_forward(fused_nhwc, p, upsample_factor: float, is_metric: bool):
     x = conv2d(fused_nhwc, p["conv_in_kernel"], p["conv_in_bias"], padding=1)
     out_hw = resize_output_size(x.shape[1:3], upsample_factor)
     x = resize_2d(x, out_hw, mode="bilinear", align_corners=True)
-    x = conv2d(x, p["conv_mid_kernel"], p["conv_mid_bias"], padding=1)
+    # ->32 channels wastes MXU lanes in a direct conv; see conv3x3_shiftsum
+    x = conv3x3_shiftsum(x, p["conv_mid_kernel"], p["conv_mid_bias"])
     x = jax.nn.relu(x)
     x = linear(x, p["proj_kernel"], p["proj_bias"])
     x = jax.nn.sigmoid(x) if is_metric else jax.nn.relu(x)

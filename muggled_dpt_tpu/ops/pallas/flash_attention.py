@@ -90,6 +90,99 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, bias_ref=None):
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None):
+    """One-pass attention reading `hpp` heads' fused (N_pad, hpp*3D) q|k|v
+    slab directly from the projection output — no host-side transposes. The
+    unrolled per-head chains are independent, so Mosaic can overlap one
+    head's softmax (VPU) with the next head's logit matmul (MXU)."""
+    slab = qkv_ref[0]
+    kv_pad = slab.shape[0]
+    col = lax.broadcasted_iota(jnp.int32, (slab.shape[0], kv_pad), 1) if kv_len < kv_pad else None
+    for j in range(hpp):
+        base = j * 3 * d
+        q = (slab[:, base : base + d].astype(jnp.float32) * scale).astype(slab.dtype)
+        k = slab[:, base + d : base + 2 * d]
+        v = slab[:, base + 2 * d : base + 3 * d]
+        s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, j].astype(jnp.float32)
+        if col is not None:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, j * d : (j + 1) * d] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _heads_per_program(num_heads: int, d: int) -> int | None:
+    """Smallest head-group width whose qkv slab (hpp*3D) and output (hpp*D)
+    blocks satisfy the TPU 128-lane divisibility rule."""
+    for hpp in (1, 2, 4, 8):
+        if num_heads % hpp == 0 and (3 * d * hpp) % 128 == 0 and (d * hpp) % 128 == 0:
+            return hpp
+    return None
+
+
+def fused_qkv_supported(n: int, num_heads: int, d: int) -> bool:
+    """One-pass regime + a head grouping that satisfies lane alignment."""
+    return _round_up(n, 128) <= ONE_PASS_MAX_KV and _heads_per_program(num_heads, d) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=False):
+    """Flash attention straight off the fused qkv projection output.
+
+    qkv: (B, N, 3C) with columns in head-major [head][q|k|v][dim] order
+    (checkpoints/convert_common.py:qkv_head_major). Each (batch, head-group)
+    grid program DMAs one dense (N_pad, hpp*3D) slab — q, k and v arrive in a
+    single contiguous read, eliminating the 3 input transposes + 1 output
+    transpose the (B, N, H, D) wrapper needs (~50 us/block at ViT-L @ 504^2
+    on v5e). bias: optional, broadcastable to (B, H, N, N). Returns (B, N, C)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    scale = (d ** -0.5) if scale is None else scale
+    n_pad = _round_up(n, 128)
+    hpp = _heads_per_program(num_heads, d)
+    assert hpp is not None and fused_qkv_supported(n, num_heads, d), (
+        "fused-qkv path unsupported for this shape; use flash_attention"
+    )
+
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    grid = (b, num_heads // hpp)
+    in_specs = [pl.BlockSpec((1, n_pad, 3 * d * hpp), lambda bi, gi: (bi, 0, gi))]
+    args = [qkvp]
+    kernel = functools.partial(_onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp)
+    if bias is not None:
+        bp = jnp.broadcast_to(bias, (b, num_heads, n, n))
+        bp = jnp.pad(bp, ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+        in_specs.append(pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi: (bi, gi, 0, 0)))
+        args.append(bp)
+
+        def kernel(qkv_ref, b_ref, o_ref):
+            _onepass_qkv_kernel(qkv_ref, o_ref, kv_len=n, scale=scale, d=d, hpp=hpp, bias_ref=b_ref)
+
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        # the hpp unrolled (N_pad, N_pad) f32 logit tiles exceed the default
+        # 16 MB scoped-vmem budget; the one-pass cutoff keeps the true need
+        # well under the 128 MB physical VMEM
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n_pad, d * hpp), lambda bi, gi: (bi, 0, gi)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+    return out[:, :n, :]
+
+
 # ---------------------------------------------------------------------------
 # online-softmax kernel (keys streamed in blocks)
 # ---------------------------------------------------------------------------

@@ -167,11 +167,16 @@ def resize_2d(
     mode: str = "bilinear",
     align_corners: bool = False,
     antialias: bool = False,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Resize NHWC (or HWC / HW) arrays to ``out_hw`` with exact torch
     interpolate semantics. Separable: H pass then W pass, each a dense matmul
-    that XLA maps onto the MXU."""
+    that XLA maps onto the MXU.
+
+    compute_dtype: dense (matmul) paths default to f32 for torch bit-parity;
+    the sparse 2-tap linear path defaults to the INPUT dtype — a bf16 lerp of
+    bf16 data matches what torch's fp16/bf16 GPU path does, and halves the
+    HBM traffic of the fusion/head upsamples."""
     mode_1d = {"bilinear": "linear", "linear": "linear", "bicubic": "cubic", "cubic": "cubic"}[mode]
     squeeze = []
     if img_nhwc.ndim == 2:
@@ -184,22 +189,26 @@ def resize_2d(
     n, h, w, c = img_nhwc.shape
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     orig_dtype = img_nhwc.dtype
+    sparse_linear = mode_1d == "linear" and not antialias
+    if compute_dtype is None:
+        is_float = jnp.issubdtype(orig_dtype, jnp.floating)
+        compute_dtype = orig_dtype if (sparse_linear and is_float) else jnp.float32
     x = img_nhwc.astype(compute_dtype)
 
-    if mode_1d == "linear" and not antialias:
+    if sparse_linear:
         # sparse 2-tap gather + lerp: same exact weights, ~in_size/2 x fewer
         # FLOPs than the dense matmul (dominates fusion/head upsampling cost)
         if out_h != h:
             i0, i1, w0, w1 = _linear_taps_np(h, out_h, align_corners)
             x = (
-                jnp.take(x, jnp.asarray(i0), axis=1) * jnp.asarray(w0)[:, None, None]
-                + jnp.take(x, jnp.asarray(i1), axis=1) * jnp.asarray(w1)[:, None, None]
+                jnp.take(x, jnp.asarray(i0), axis=1) * jnp.asarray(w0, compute_dtype)[:, None, None]
+                + jnp.take(x, jnp.asarray(i1), axis=1) * jnp.asarray(w1, compute_dtype)[:, None, None]
             )
         if out_w != w:
             i0, i1, w0, w1 = _linear_taps_np(w, out_w, align_corners)
             x = (
-                jnp.take(x, jnp.asarray(i0), axis=2) * jnp.asarray(w0)[:, None]
-                + jnp.take(x, jnp.asarray(i1), axis=2) * jnp.asarray(w1)[:, None]
+                jnp.take(x, jnp.asarray(i0), axis=2) * jnp.asarray(w0, compute_dtype)[:, None]
+                + jnp.take(x, jnp.asarray(i1), axis=2) * jnp.asarray(w1, compute_dtype)[:, None]
             )
         x = x.astype(orig_dtype)
         if squeeze == [0, -1]:

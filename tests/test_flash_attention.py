@@ -65,6 +65,25 @@ def test_flash_all_logits_negative():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_fused_qkv_matches_naive(with_bias):
+    """Head-major fused-qkv kernel vs explicit softmax attention."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+
+    rng = np.random.default_rng(7)
+    b, n, h, d = 2, 200, 4, 32  # d*hpp must reach the 128-lane width (hpp=4)
+    # build head-major (B, N, [h][3][d]) qkv and the equivalent split tensors
+    qkv = jnp.asarray(rng.standard_normal((b, n, h, 3, d)), jnp.float32)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    bias = jnp.asarray(rng.standard_normal((b, h, n, n)), jnp.float32) if with_bias else None
+
+    ref = np.asarray(_naive(q, k, v, bias))
+    got = np.asarray(
+        flash_attention_fused_qkv(qkv.reshape(b, n, 3 * h * d), h, bias=bias, interpret=True)
+    ).reshape(b, n, h, d)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_flash_custom_scale():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.standard_normal((1, 100, 2, 16)), jnp.float32)
