@@ -56,7 +56,7 @@ def main():
 
     # stage the frame in device memory once; full e2e = on-device prep + model
     frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
-    run_one = lambda: model._infer_jit(model.params, frame_dev, scaled_hw, None)
+    run_one = lambda: model.inference_rgb_device(frame_dev, scaled_hw)
 
     # warmup / compile with a full readback (validates the whole path)
     np.asarray(run_one())

@@ -255,6 +255,11 @@ class ImageDisplay(UIElement):
         self._img = image_bgr
         return self
 
+    @property
+    def image(self):
+        """The current full-resolution BGR image (read-only view for savers)."""
+        return self._img
+
     def render(self, width):
         h, w = self._img.shape[:2]
         self.height = max(1, int(round(h * width / w)))

@@ -139,6 +139,16 @@ class DPTModel:
         aux = self._get_aux((scaled_hw[0] // p, scaled_hw[1] // p))
         return self._infer_jit(self.params, jnp.asarray(image_rgb), scaled_hw, aux)
 
+    def inference_rgb_device(self, image_rgb_hw3, scaled_hw: tuple[int, int]):
+        """Public entry for the fused on-device prep+forward program used by
+        benchmarking and streaming callers: takes an RGB uint8 (H, W, 3) array
+        (ideally already device-resident via jax.device_put) and a precomputed
+        (h, w) from compute_scaled_hw, returns depth (1, h', w'). Equivalent to
+        `inference` minus the host-side BGR flip and sizing math."""
+        p = self.patch_size_px
+        aux = self._get_aux((scaled_hw[0] // p, scaled_hw[1] // p))
+        return self._infer_jit(self.params, image_rgb_hw3, scaled_hw, aux)
+
     def prepare_image_bgr(
         self,
         image_bgr: np.ndarray,

@@ -193,7 +193,7 @@ def main():
         request_close, key = window.show(args.display_size, 16)
         if key == ord("s"):
             name = make_save_name(image_path)
-            save_image(display._img, name)
+            save_image(display.image, name)
             save_numpy_array(depth_norm, name + "_raw")
             save_uint16_png(depth_norm, name + "_u16")
             print(f"Saved results as {name}*")

@@ -1,11 +1,12 @@
 """Fused LN->MLP->LayerScale-residual kernel vs the unfused ops
-(interpret mode, CPU). The kernel is not wired into the model path (XLA's
-fusion measured faster on v5e) but is kept correct."""
+(interpret mode, CPU). The kernel lives under experiments/ (not the shipped
+package) because XLA's own fusion measured faster on v5e at model shapes;
+this test keeps the measured-negative-result artifact correct."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from muggled_dpt_tpu.ops.pallas.fused_mlp import fused_ln_mlp_residual
+from experiments.pallas_fused_mlp import fused_ln_mlp_residual
 from muggled_dpt_tpu.ops.nn import layer_norm, mlp_gelu
 
 
