@@ -61,12 +61,10 @@ def stack_blocks(per_block_dicts: list[dict]) -> dict:
 
 def max_index(state_dict: dict, prefix: str, nth: int = 0) -> int:
     """Largest integer appearing right after `prefix.` across keys."""
-    import re
+    from .key_regex import get_nth_integer, has_prefix
 
-    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.")
     best = -1
     for k in state_dict:
-        m = pat.match(k)
-        if m:
-            best = max(best, int(m.group(1)))
+        if has_prefix(k, prefix + ".#."):
+            best = max(best, get_nth_integer(k[len(prefix) :], 0))
     return best
