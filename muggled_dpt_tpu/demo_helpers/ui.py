@@ -1,10 +1,13 @@
 """Compact OpenCV UI toolkit for the interactive demos.
 
 Plays the role of the reference's vendored ~12k-LoC 'toadui' package
-(demo_helpers/toadui/): window + keypress registry, vertical stacking layout,
-sliders, toggle/press buttons, a colormap selector bar (including a custom
-spectral map), and text drawing — implemented from scratch and sized to what
-the demo apps actually use. Model-agnostic: numpy/cv2 only."""
+(demo_helpers/toadui/): window + keypress registry, vertical/horizontal
+stacking layout, sliders, toggle/press buttons, a colormap selector bar
+(including a custom spectral map), text drawing, hover readouts + draggable
+markers on the image panel (toadui/overlays.py), line plots
+(toadui/plots.py) and a video playback bar (toadui/video.py) — implemented
+from scratch and sized to what the demo apps actually use. Model-agnostic:
+numpy/cv2 only."""
 
 from __future__ import annotations
 
@@ -47,6 +50,11 @@ class UIElement:
         raise NotImplementedError
 
     def on_mouse(self, x: int, y: int, event: int, flags: int = 0):
+        pass
+
+    def on_mouse_elsewhere(self):
+        """Called when the cursor is over a *different* element, so hover
+        state and in-progress drags can be cleared."""
         pass
 
 
@@ -243,13 +251,42 @@ class ColormapsBar(UIElement):
             self._changed = True
 
 
+class DraggableMarker:
+    """A point overlay on an ImageDisplay the user can drag (reference
+    toadui/overlays.py draggable points). Position is normalized (x, y) in
+    [0, 1]; .read() pops a changed flag the way Slider.read() does."""
+
+    GRAB_RADIUS_PX = 18
+
+    def __init__(self, xy_norm=(0.5, 0.5), color=(80, 255, 255)):
+        self.xy_norm = (float(xy_norm[0]), float(xy_norm[1]))
+        self.color = color
+        self._changed = False
+        self._dragging = False
+
+    def set(self, xy_norm, flag_change: bool = False):
+        self.xy_norm = (float(np.clip(xy_norm[0], 0, 1)), float(np.clip(xy_norm[1], 0, 1)))
+        self._changed = self._changed or flag_change
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self.xy_norm
+
+
 class ImageDisplay(UIElement):
-    """Main image panel; height tracks the image aspect at render width."""
+    """Main image panel; height tracks the image aspect at render width.
+    Supports hover readouts (set_hover_text) and draggable point markers
+    (add_marker) — the overlay features of toadui/overlays.py the
+    experiments use for live value inspection / token picking."""
 
     def __init__(self, image_bgr=None):
         self._img = image_bgr if image_bgr is not None else np.zeros((64, 64, 3), np.uint8)
         self.height = self._img.shape[0]
         self.last_click_xy_norm = None
+        self.hover_xy_norm = None
+        self._hover_text_fn = None
+        self._markers: list[DraggableMarker] = []
 
     def set_image(self, image_bgr):
         self._img = image_bgr
@@ -260,18 +297,217 @@ class ImageDisplay(UIElement):
         """The current full-resolution BGR image (read-only view for savers)."""
         return self._img
 
+    def set_hover_text(self, text_fn):
+        """Attach a hover readout: text_fn((x_norm, y_norm)) -> str is drawn
+        in a tooltip beside the cursor while it is over the panel."""
+        self._hover_text_fn = text_fn
+        return self
+
+    def add_marker(self, xy_norm=(0.5, 0.5), color=(80, 255, 255)) -> DraggableMarker:
+        marker = DraggableMarker(xy_norm, color)
+        self._markers.append(marker)
+        return marker
+
     def render(self, width):
         h, w = self._img.shape[:2]
         self.height = max(1, int(round(h * width / w)))
         self._render_wh = (width, self.height)
         if (w, h) == (width, self.height):
-            return self._img
-        return cv2.resize(self._img, (width, self.height))
+            img = self._img
+        else:
+            img = cv2.resize(self._img, (width, self.height))
+        if self._markers or (self._hover_text_fn and self.hover_xy_norm):
+            img = img.copy()
+        for m in self._markers:
+            mx, my = int(m.xy_norm[0] * width), int(m.xy_norm[1] * self.height)
+            cv2.drawMarker(img, (mx, my), m.color, cv2.MARKER_CROSS, 16, 2)
+            cv2.circle(img, (mx, my), 6, m.color, 1, cv2.LINE_AA)
+        if self._hover_text_fn and self.hover_xy_norm is not None:
+            self._draw_tooltip(img, width)
+        return img
+
+    def _draw_tooltip(self, img, width):
+        text = self._hover_text_fn(self.hover_xy_norm)
+        if not text:
+            return
+        td = TextDrawer(0.45)
+        tw, th = td.size(text)
+        hx, hy = int(self.hover_xy_norm[0] * width), int(self.hover_xy_norm[1] * self.height)
+        x0 = min(hx + 12, width - tw - 10)
+        y0 = max(hy - th - 14, 2)
+        cv2.rectangle(img, (x0 - 4, y0 - 3), (x0 + tw + 4, y0 + th + 6), (25, 25, 25), -1)
+        td.draw(img, text, (x0, y0))
+
+    def on_mouse(self, x, y, event, flags=0):
+        w, h = getattr(self, "_render_wh", (1, 1))
+        xy_norm = (x / max(w, 1), y / max(h, 1))
+        self.hover_xy_norm = xy_norm
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self.last_click_xy_norm = xy_norm
+            for m in self._markers:  # grab the nearest marker within reach
+                dx, dy = (m.xy_norm[0] - xy_norm[0]) * w, (m.xy_norm[1] - xy_norm[1]) * h
+                if dx * dx + dy * dy <= DraggableMarker.GRAB_RADIUS_PX**2:
+                    m._dragging = True
+                    break
+            else:
+                # click-to-place when a single marker exists (token picking)
+                if len(self._markers) == 1:
+                    self._markers[0].set(xy_norm, flag_change=True)
+        if event == cv2.EVENT_LBUTTONUP:
+            for m in self._markers:
+                m._dragging = False
+        if event == cv2.EVENT_MOUSEMOVE:
+            for m in self._markers:
+                if m._dragging:
+                    m.set(xy_norm, flag_change=True)
+
+    def on_mouse_elsewhere(self):
+        self.hover_xy_norm = None
+        for m in self._markers:
+            m._dragging = False
+
+
+class LinePlot(UIElement):
+    """Minimal line plot bar (reference toadui/plots.py): one 1-D series
+    with min/max axis labels and an optional highlighted x index, used by the
+    experiments to show per-layer statistics."""
+
+    def __init__(self, title: str = "", height: int = 110, color=_ACCENT):
+        self.title = title
+        self.height = height
+        self.color = color
+        self._ys = None
+        self._highlight = None
+        self._hover_idx = None
+
+    def set_series(self, ys, highlight_idx=None):
+        self._ys = None if ys is None else np.asarray(ys, np.float32).reshape(-1)
+        self._highlight = highlight_idx
+        return self
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        ys = self._ys
+        if ys is None or len(ys) == 0:
+            return img
+        pad_l, pad_r, pad_t, pad_b = 12, 12, 18, 10
+        pw, ph = width - pad_l - pad_r, self.height - pad_t - pad_b
+        lo, hi = float(ys.min()), float(ys.max())
+        span = max(hi - lo, 1e-9)
+        xs = pad_l + np.linspace(0, pw, len(ys))
+        pys = pad_t + ph - (ys - lo) / span * ph
+        pts = np.stack([xs, pys], axis=-1).astype(np.int32)
+        if self._highlight is not None and 0 <= self._highlight < len(ys):
+            hx = int(xs[self._highlight])
+            cv2.line(img, (hx, pad_t - 4), (hx, self.height - pad_b + 4), (90, 90, 90), 1)
+        cv2.polylines(img, [pts], False, self.color, 1, cv2.LINE_AA)
+        for p in pts:
+            cv2.circle(img, tuple(p), 2, self.color, -1, cv2.LINE_AA)
+        td = TextDrawer(0.38, color=(150, 150, 150))
+        label = self.title
+        if self._hover_idx is not None and 0 <= self._hover_idx < len(ys):
+            label = f"{self.title}  [{self._hover_idx}] = {ys[self._hover_idx]:.2f}"
+        TextDrawer(0.42).draw(img, label, (pad_l, 2))
+        td.draw(img, f"{hi:.2f}", (width - pad_r - td.size(f'{hi:.2f}')[0], pad_t - 6))
+        td.draw(img, f"{lo:.2f}", (width - pad_r - td.size(f'{lo:.2f}')[0], self.height - pad_b - 8))
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if self._ys is None or len(self._ys) == 0:
+            return
+        pad_l, pad_r = 12, 12
+        pw = max(getattr(self, "_width", 300) - pad_l - pad_r, 1)
+        self._hover_idx = int(np.clip(round((x - pad_l) / pw * (len(self._ys) - 1)), 0, len(self._ys) - 1))
+
+    def on_mouse_elsewhere(self):
+        self._hover_idx = None
+
+
+class PlaybackBar(UIElement):
+    """Video playback control bar (reference toadui/video.py): a play/pause
+    button, a draggable frame-position slider and a frame counter in one
+    row. The app polls read_seek()/read_pause() each frame."""
+
+    BTN_W = 44
+
+    def __init__(self, total_frames: int, height: int = 36):
+        self.total = max(int(total_frames), 1)
+        self.height = height
+        self._frame = 0
+        self._paused = False
+        self._seek = None
+        self._pause_changed = False
+        self._dragging = False
+        self._width = 300
+
+    @property
+    def is_paused(self):
+        return self._paused
+
+    def set_frame(self, idx: int):
+        if not self._dragging:
+            self._frame = int(np.clip(idx, 0, self.total - 1))
+        return self
+
+    def toggle_pause(self, set_paused=None):
+        self._paused = (not self._paused) if set_paused is None else bool(set_paused)
+        self._pause_changed = True
+        return self._paused
+
+    def read_pause(self):
+        changed, self._pause_changed = self._pause_changed, False
+        return changed, self._paused
+
+    def read_seek(self):
+        """Pops the pending seek target (None when the user hasn't scrubbed)."""
+        seek, self._seek = self._seek, None
+        return seek is not None, seek
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        bw, hh = self.BTN_W, self.height // 2
+        cv2.rectangle(img, (3, 3), (bw - 3, self.height - 3), (80, 80, 80), 1)
+        if self._paused:  # show the action the button will take: play triangle
+            cv2.fillPoly(img, [np.array([(bw // 2 - 5, hh - 7), (bw // 2 - 5, hh + 7), (bw // 2 + 7, hh)])], _FG)
+        else:  # pause bars
+            cv2.rectangle(img, (bw // 2 - 7, hh - 7), (bw // 2 - 3, hh + 7), _FG, -1)
+            cv2.rectangle(img, (bw // 2 + 3, hh - 7), (bw // 2 + 7, hh + 7), _FG, -1)
+        counter = f"{self._frame + 1}/{self.total}"
+        td = TextDrawer(0.42)
+        cw = td.size(counter)[0] + 14
+        td.draw(img, counter, (width - cw + 4, hh - 7))
+        pad = 10
+        x0, x1 = bw + pad, width - cw - pad
+        t = self._frame / max(self.total - 1, 1)
+        x = int(x0 + t * max(x1 - x0, 1))
+        cv2.line(img, (x0, hh), (x1, hh), (90, 90, 90), 2)
+        cv2.line(img, (x0, hh), (x, hh), _ACCENT, 2)
+        cv2.circle(img, (x, hh), 7, _ACCENT, -1)
+        self._track = (x0, x1)
+        return img
+
+    def _scrub_to(self, x):
+        x0, x1 = getattr(self, "_track", (self.BTN_W + 10, self._width - 60))
+        t = np.clip((x - x0) / max(x1 - x0, 1), 0, 1)
+        self._frame = int(round(t * (self.total - 1)))
+        self._seek = self._frame
 
     def on_mouse(self, x, y, event, flags=0):
         if event == cv2.EVENT_LBUTTONDOWN:
-            w, h = getattr(self, "_render_wh", (1, 1))
-            self.last_click_xy_norm = (x / max(w, 1), y / max(h, 1))
+            if x < self.BTN_W:
+                self.toggle_pause()
+            else:
+                self._dragging = True
+                self._scrub_to(x)
+        if event == cv2.EVENT_LBUTTONUP:
+            self._dragging = False
+        if self._dragging and event == cv2.EVENT_MOUSEMOVE:
+            self._scrub_to(x)
+
+    def on_mouse_elsewhere(self):
+        self._dragging = False
 
 
 class HStack(UIElement):
@@ -300,6 +536,12 @@ class HStack(UIElement):
         for i, e in enumerate(self.elements):
             if offs[i] <= x < offs[i + 1]:
                 e.on_mouse(x - offs[i], y, event, flags)
+            else:
+                e.on_mouse_elsewhere()
+
+    def on_mouse_elsewhere(self):
+        for e in self.elements:
+            e.on_mouse_elsewhere()
 
 
 class VStack:
@@ -323,6 +565,12 @@ class VStack:
                 # sliders keep dragging even when the cursor leaves their bar
             elif isinstance(e, Slider) and e._dragging:
                 e.on_mouse(x, 0, event, flags)
+            else:
+                e.on_mouse_elsewhere()
+
+    def on_mouse_elsewhere(self):
+        for e in self.elements:
+            e.on_mouse_elsewhere()
 
 
 class DisplayWindow:

@@ -129,6 +129,14 @@ def main():
     # ---- interactive UI ----
     tile = dpt_model.tiling_size
     display = ui.ImageDisplay()
+
+    def _hover_depth(xy_norm):
+        # live depth readout under the cursor (normalized inverse depth)
+        h, w = depth_norm.shape[:2]
+        xi, yi = min(int(xy_norm[0] * w), w - 1), min(int(xy_norm[1] * h), h - 1)
+        return f"d={depth_norm[yi, xi]:.3f}"
+
+    display.set_hover_text(_hover_depth)
     size_slider = ui.Slider("Image size", base_size, tile * 4, max(base_size * 2, 1024), step=tile)
     min_slider = ui.Slider("Min threshold", 0.0, 0.0, 1.0, step=0.01)
     max_slider = ui.Slider("Max threshold", 1.0, 0.0, 1.0, step=0.01)

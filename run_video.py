@@ -76,7 +76,7 @@ def main():
     histeq_toggle = ui.ToggleButton("Equalize", False)
     record_toggle = ui.ToggleButton("Record", False)
     display = ui.ImageDisplay()
-    playback = ui.Slider("Frame", 0, 0, max(reader.total_frames - 1, 1), step=1) if not reader.is_webcam else None
+    playback = ui.PlaybackBar(reader.total_frames) if not reader.is_webcam else None
     layout = ui.VStack(display, cmap_bar, playback, reverse_toggle, histeq_toggle, record_toggle)
 
     window = None
@@ -87,7 +87,7 @@ def main():
         window.attach_keypress_callback("r", reverse_toggle.toggle)
         window.attach_keypress_callback("e", histeq_toggle.toggle)
         window.attach_keypress_callback("o", record_toggle.toggle)
-        window.attach_keypress_callback(" ", reader.toggle_pause)
+        window.attach_keypress_callback(" ", playback.toggle_pause if playback is not None else reader.toggle_pause)
         print("\nKeys: space=pause  c=colormap  r=reverse  e=equalize  o=record  q=quit")
 
     gate = AsyncResult()
@@ -99,7 +99,7 @@ def main():
     for is_paused, frame_idx, frame in reader:
         frames_seen += 1
         if playback is not None and not is_paused:
-            playback.set(frame_idx)
+            playback.set_frame(frame_idx)
 
         # Dispatch-ahead: submit new inference only when the previous result is
         # materialized (never blocks playback); -sync forces blocking timing.
@@ -135,9 +135,12 @@ def main():
                 cv2.imwrite(osp.join(record_folder, f"frame_{frame_idx:06d}.png"), colored)
 
         if playback is not None:
-            seek_changed, seek_val = playback.read()
+            seek_changed, seek_val = playback.read_seek()
             if seek_changed:
                 reader.seek(seek_val)
+            pause_changed, paused = playback.read_pause()
+            if pause_changed:
+                reader.pause(paused)
 
         if window is not None:
             request_close, _ = window.show(args.display_size, max(1, int(1000 / max(reader.fps, 1))))

@@ -77,3 +77,18 @@ def test_simple_example(fixtures):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Inverse depth shape" in r.stdout
+
+
+def test_experiments_headless(fixtures):
+    """attention/block-norm explorers keep a batch --headless mode for CI."""
+    for script, marker in (
+        ("attention_visualization.py", "row/column attention"),
+        ("block_norm_visualization.py", "per-block norm maps"),
+    ):
+        r = _run(
+            [osp.join(REPO_ROOT, "experiments", script), "-m", fixtures["ckpt"],
+             "-i", fixtures["img"], "--headless"],
+            cwd=fixtures["dir"],
+        )
+        assert r.returncode == 0, (script, r.stderr[-2000:])
+        assert marker in r.stdout, (script, r.stdout[-500:])

@@ -70,3 +70,55 @@ def test_prewarm_returns_unique_sizes():
     m = make_depthanythingv2_dpt(64, 1, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
     warmed = m.prewarm([56, 56, 84], image_hw=(120, 160))
     assert warmed == [(56, 56), (84, 84)]
+
+
+def test_image_display_hover_and_marker():
+    d = ui.ImageDisplay(np.zeros((100, 200, 3), np.uint8))
+    marker = d.add_marker((0.5, 0.5))
+    d.set_hover_text(lambda xy: f"{xy[0]:.2f}")
+    d.render(400)  # establishes render size (400, 200)
+    # grab the marker and drag it
+    d.on_mouse(200, 100, cv2.EVENT_LBUTTONDOWN)
+    d.on_mouse(300, 50, cv2.EVENT_MOUSEMOVE)
+    d.on_mouse(300, 50, cv2.EVENT_LBUTTONUP)
+    changed, xy = marker.read()
+    assert changed and abs(xy[0] - 0.75) < 0.01 and abs(xy[1] - 0.25) < 0.01
+    # click far away from the single marker -> click-to-place
+    d.on_mouse(40, 20, cv2.EVENT_LBUTTONDOWN)
+    changed, xy = marker.read()
+    assert changed and abs(xy[0] - 0.1) < 0.01
+    # hover tooltip renders without error; elsewhere clears hover
+    assert d.render(400).shape == (200, 400, 3)
+    d.on_mouse_elsewhere()
+    assert d.hover_xy_norm is None
+
+
+def test_line_plot_render_and_hover():
+    p = ui.LinePlot("stat").set_series([1.0, 5.0, 3.0, 8.0, 2.0], highlight_idx=3)
+    assert p.render(400).shape == (110, 400, 3)
+    p.on_mouse(200, 50, cv2.EVENT_MOUSEMOVE)
+    assert p._hover_idx is not None
+    p.render(400)
+    p.on_mouse_elsewhere()
+    assert p._hover_idx is None
+    # empty series renders a blank bar
+    assert ui.LinePlot().render(300).shape == (110, 300, 3)
+
+
+def test_playback_bar_controls():
+    pb = ui.PlaybackBar(100)
+    pb.render(500)
+    # left zone toggles pause
+    pb.on_mouse(10, 10, cv2.EVENT_LBUTTONDOWN)
+    changed, paused = pb.read_pause()
+    assert changed and paused and pb.is_paused
+    # scrubbing the track emits a seek
+    pb.on_mouse(300, 10, cv2.EVENT_LBUTTONDOWN)
+    pb.on_mouse(350, 10, cv2.EVENT_MOUSEMOVE)
+    pb.on_mouse(350, 10, cv2.EVENT_LBUTTONUP)
+    changed, seek = pb.read_seek()
+    assert changed and 0 <= seek < 100
+    # set_frame clamps and shows in the counter render
+    pb.set_frame(500)
+    assert pb._frame == 99
+    pb.render(500)
