@@ -75,13 +75,40 @@ void main() {
 const FRAG_SRC = `
 precision mediump float;
 uniform sampler2D uRGB;
+uniform sampler2D uDepthF;
 uniform float uUseMask;
+uniform float uViewMode; // 0 = image texture, 1 = depth gray, 2 = depth spectral
 varying vec2 vUV;
 varying float vMask;
+float decodeDepthF(vec4 px) { return (px.r * 65536.0 + px.g * 256.0 + px.b) * 255.0 / 16777215.0; }
+vec3 spectral(float t) {
+  // compact 5-stop approximation of the spectral colormap (blue->cyan->green->yellow->red)
+  vec3 c0 = vec3(0.37, 0.31, 0.64), c1 = vec3(0.40, 0.76, 0.65), c2 = vec3(1.00, 1.00, 0.75);
+  vec3 c3 = vec3(0.96, 0.43, 0.26), c4 = vec3(0.62, 0.00, 0.26);
+  if (t < 0.25) return mix(c0, c1, t * 4.0);
+  if (t < 0.50) return mix(c1, c2, (t - 0.25) * 4.0);
+  if (t < 0.75) return mix(c2, c3, (t - 0.50) * 4.0);
+  return mix(c3, c4, (t - 0.75) * 4.0);
+}
 void main() {
   if (uUseMask > 0.5 && vMask < 0.5) discard;
-  gl_FragColor = vec4(texture2D(uRGB, vUV).rgb, 1.0);
+  if (uViewMode < 0.5) {
+    gl_FragColor = vec4(texture2D(uRGB, vUV).rgb, 1.0);
+  } else {
+    float d = decodeDepthF(texture2D(uDepthF, vUV));
+    gl_FragColor = (uViewMode < 1.5) ? vec4(vec3(d), 1.0) : vec4(spectral(1.0 - d), 1.0);
+  }
 }`;
+
+// wireframe program for the capture-frustum overlay
+const LINE_VERT_SRC = `
+attribute vec3 aPos;
+uniform mat4 uProj, uView;
+void main() { gl_Position = uProj * uView * vec4(aPos, 1.0); }`;
+const LINE_FRAG_SRC = `
+precision mediump float;
+uniform vec3 uColor;
+void main() { gl_FragColor = vec4(uColor, 1.0); }`;
 
 function compile(type, src) {
   const s = gl.createShader(type);
@@ -95,28 +122,58 @@ gl.attachShader(program, compile(gl.FRAGMENT_SHADER, FRAG_SRC));
 gl.linkProgram(program);
 gl.useProgram(program);
 
-// dense plane mesh in UV space
-const GRID = 320;
-const uvs = new Float32Array((GRID + 1) * (GRID + 1) * 2);
-let p = 0;
-for (let y = 0; y <= GRID; y++) for (let x = 0; x <= GRID; x++) { uvs[p++] = x / GRID; uvs[p++] = y / GRID; }
-const indices = new Uint32Array(GRID * GRID * 6);
-p = 0;
-for (let y = 0; y < GRID; y++) for (let x = 0; x < GRID; x++) {
-  const i0 = y * (GRID + 1) + x, i1 = i0 + 1, i2 = i0 + GRID + 1, i3 = i2 + 1;
-  indices[p++] = i0; indices[p++] = i2; indices[p++] = i1;
-  indices[p++] = i1; indices[p++] = i2; indices[p++] = i3;
-}
+// dense plane mesh in UV space; density is user-adjustable (reference
+// mesh.js exposes the same control)
+let GRID = 320;
+let uvs, indices;
 gl.getExtension("OES_element_index_uint");
 const uvBuf = gl.createBuffer();
-gl.bindBuffer(gl.ARRAY_BUFFER, uvBuf);
-gl.bufferData(gl.ARRAY_BUFFER, uvs, gl.STATIC_DRAW);
 const idxBuf = gl.createBuffer();
-gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, idxBuf);
-gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, indices, gl.STATIC_DRAW);
 const aUV = gl.getAttribLocation(program, "aUV");
 gl.enableVertexAttribArray(aUV);
-gl.vertexAttribPointer(aUV, 2, gl.FLOAT, false, 0, 0);
+
+function buildGrid(n) {
+  GRID = n;
+  uvs = new Float32Array((n + 1) * (n + 1) * 2);
+  let p = 0;
+  for (let y = 0; y <= n; y++) for (let x = 0; x <= n; x++) { uvs[p++] = x / n; uvs[p++] = y / n; }
+  indices = new Uint32Array(n * n * 6);
+  p = 0;
+  for (let y = 0; y < n; y++) for (let x = 0; x < n; x++) {
+    const i0 = y * (n + 1) + x, i1 = i0 + 1, i2 = i0 + n + 1, i3 = i2 + 1;
+    indices[p++] = i0; indices[p++] = i2; indices[p++] = i1;
+    indices[p++] = i1; indices[p++] = i2; indices[p++] = i3;
+  }
+  gl.bindBuffer(gl.ARRAY_BUFFER, uvBuf);
+  gl.bufferData(gl.ARRAY_BUFFER, uvs, gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, idxBuf);
+  gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, indices, gl.STATIC_DRAW);
+  gl.vertexAttribPointer(aUV, 2, gl.FLOAT, false, 0, 0);
+}
+buildGrid(GRID);
+
+// frustum wireframe resources
+const lineProgram = gl.createProgram();
+gl.attachShader(lineProgram, compile(gl.VERTEX_SHADER, LINE_VERT_SRC));
+gl.attachShader(lineProgram, compile(gl.FRAGMENT_SHADER, LINE_FRAG_SRC));
+gl.linkProgram(lineProgram);
+const lineBuf = gl.createBuffer();
+const aLinePos = gl.getAttribLocation(lineProgram, "aPos");
+
+function frustumLineVerts(aspect, A, B) {
+  // the volume swept by the displacement mapping: near rect at z = B
+  // (depth 0), far rect at z = A + B (depth 1), plus connecting edges
+  const hx = aspect / 2, hy = 0.5, z0 = B, z1 = A + B;
+  const n = [[-hx, -hy, z0], [hx, -hy, z0], [hx, hy, z0], [-hx, hy, z0]];
+  const f = [[-hx, -hy, z1], [hx, -hy, z1], [hx, hy, z1], [-hx, hy, z1]];
+  const edges = [];
+  for (let i = 0; i < 4; i++) {
+    edges.push(n[i], n[(i + 1) % 4]);   // near rectangle
+    edges.push(f[i], f[(i + 1) % 4]);   // far rectangle
+    edges.push(n[i], f[i]);             // connectors
+  }
+  return new Float32Array(edges.flat());
+}
 
 function makeTexture(unit) {
   const t = gl.createTexture();
@@ -132,6 +189,7 @@ const rgbTex = makeTexture(0);
 const depthTex = makeTexture(1);
 gl.uniform1i(gl.getUniformLocation(program, "uRGB"), 0);
 gl.uniform1i(gl.getUniformLocation(program, "uDepth"), 1);
+gl.uniform1i(gl.getUniformLocation(program, "uDepthF"), 1);
 gl.enable(gl.DEPTH_TEST);
 
 // vertex shader can't filter NEAREST-decoded 24-bit depth across byte
@@ -153,6 +211,9 @@ const ui = {
   offset: document.getElementById("dispOffset"),
   fov: document.getElementById("fov"),
   useMask: document.getElementById("useMask"),
+  showFrustum: document.getElementById("showFrustum"),
+  viewMode: document.getElementById("viewMode"),
+  meshDensity: document.getElementById("meshDensity"),
   status: document.getElementById("status"),
 };
 function syncLabels() {
@@ -238,13 +299,33 @@ function render() {
   if (state.depthData) {
     const proj = matPerspective((ui.fov.value * Math.PI) / 180, canvas.width / canvas.height, 0.01, 50);
     const view = matLookAtOrbit(state.dist, state.yaw, state.pitch, state.target);
+    const A = parseFloat(ui.scale.value), B = parseFloat(ui.offset.value);
+
+    gl.useProgram(program);
+    gl.bindBuffer(gl.ARRAY_BUFFER, uvBuf);
+    gl.enableVertexAttribArray(aUV);
+    gl.vertexAttribPointer(aUV, 2, gl.FLOAT, false, 0, 0);
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, idxBuf);
     gl.uniformMatrix4fv(gl.getUniformLocation(program, "uProj"), false, proj);
     gl.uniformMatrix4fv(gl.getUniformLocation(program, "uView"), false, view);
-    gl.uniform1f(gl.getUniformLocation(program, "uScale"), parseFloat(ui.scale.value));
-    gl.uniform1f(gl.getUniformLocation(program, "uOffset"), parseFloat(ui.offset.value));
+    gl.uniform1f(gl.getUniformLocation(program, "uScale"), A);
+    gl.uniform1f(gl.getUniformLocation(program, "uOffset"), B);
     gl.uniform1f(gl.getUniformLocation(program, "uAspect"), state.aspect);
     gl.uniform1f(gl.getUniformLocation(program, "uUseMask"), ui.useMask.checked ? 1 : 0);
+    gl.uniform1f(gl.getUniformLocation(program, "uViewMode"), parseFloat(ui.viewMode.value));
     gl.drawElements(gl.TRIANGLES, indices.length, gl.UNSIGNED_INT, 0);
+
+    if (ui.showFrustum.checked) {
+      gl.useProgram(lineProgram);
+      gl.bindBuffer(gl.ARRAY_BUFFER, lineBuf);
+      gl.bufferData(gl.ARRAY_BUFFER, frustumLineVerts(state.aspect, A, B), gl.DYNAMIC_DRAW);
+      gl.enableVertexAttribArray(aLinePos);
+      gl.vertexAttribPointer(aLinePos, 3, gl.FLOAT, false, 0, 0);
+      gl.uniformMatrix4fv(gl.getUniformLocation(lineProgram, "uProj"), false, proj);
+      gl.uniformMatrix4fv(gl.getUniformLocation(lineProgram, "uView"), false, view);
+      gl.uniform3f(gl.getUniformLocation(lineProgram, "uColor"), 0.4, 0.75, 1.0);
+      gl.drawArrays(gl.LINES, 0, 24);
+    }
   }
   requestAnimationFrame(render);
 }
@@ -370,6 +451,23 @@ document.getElementById("playBtn").addEventListener("click", (e) => {
 });
 document.getElementById("exportObj").addEventListener("click", exportOBJ);
 document.getElementById("exportGlb").addEventListener("click", exportGLB);
+ui.meshDensity.addEventListener("change", () => buildGrid(parseInt(ui.meshDensity.value)));
+
+// info/help overlay
+const infoOverlay = document.getElementById("infoOverlay");
+function toggleInfo(show) {
+  const visible = show !== undefined ? show : infoOverlay.style.display === "none";
+  infoOverlay.style.display = visible ? "block" : "none";
+  if (visible && state.sourceInfo) {
+    const i = state.sourceInfo;
+    document.getElementById("infoSource").textContent =
+      `source: ${i.type}` + (i.frame_count > 1 ? ` · ${i.frame_count} frames @ ${i.fps} fps` : "") +
+      (i.name ? ` · ${i.name}` : "");
+  }
+}
+document.getElementById("infoBtn").addEventListener("click", (e) => { e.stopPropagation(); toggleInfo(); });
+infoOverlay.addEventListener("click", () => toggleInfo(false));
+window.addEventListener("keydown", (e) => { if (e.key === "?") toggleInfo(); });
 document.getElementById("uploadBtn").addEventListener("click", () => document.getElementById("upload").click());
 document.getElementById("upload").addEventListener("change", async (e) => {
   const file = e.target.files[0];

@@ -4,6 +4,8 @@ sizes and 24-bit depth round-trip, /get-source-info JSON, /upload source swap,
 and 404 on non-whitelisted paths."""
 
 import json
+import os.path as osp
+import re
 import threading
 import urllib.request
 import urllib.error
@@ -123,3 +125,62 @@ def test_upload_swaps_source(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# Client-side static consistency (no JS engine in this environment: validate
+# that the JS<->HTML<->GLSL wiring is coherent without executing it)
+
+VIEWER_DIR = osp.join(REPO_ROOT, "muggled_dpt_tpu", "demo_helpers", "viewer3d")
+
+
+def _strip_js(src: str) -> str:
+    """Remove string literals (keeping their spans empty) and comments, so
+    delimiter balancing isn't confused by quoted braces."""
+    out, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in "'\"`":
+            q, i = c, i + 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+        elif src.startswith("//", i):
+            while i < n and src[i] != "\n":
+                i += 1
+        elif src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def test_viewer_js_delimiters_balance():
+    src = open(osp.join(VIEWER_DIR, "viewer.js")).read()
+    stripped = _strip_js(src)
+    for op, cl in ("()", "{}", "[]"):
+        assert stripped.count(op) == stripped.count(cl), f"unbalanced {op}{cl}"
+    assert "function" in stripped  # sanity: stripping didn't eat code
+
+
+def test_viewer_dom_ids_exist_in_html():
+    js = open(osp.join(VIEWER_DIR, "viewer.js")).read()
+    html = open(osp.join(VIEWER_DIR, "index.html")).read()
+    wanted = set(re.findall(r"getElementById\(\"([^\"]+)\"\)", js))
+    have = set(re.findall(r"id=\"([^\"]+)\"", html))
+    missing = wanted - have
+    assert not missing, f"JS references DOM ids missing from index.html: {missing}"
+
+
+def test_viewer_shader_uniforms_declared():
+    js = open(osp.join(VIEWER_DIR, "viewer.js")).read()
+    shader_src = "\n".join(re.findall(r"`([^`]*)`", js))
+    declared_u = set(re.findall(r"uniform\s+\w+\s+([\w,\s]+);", shader_src))
+    declared_u = {name.strip() for group in declared_u for name in group.split(",")}
+    declared_a = set(re.findall(r"attribute\s+\w+\s+(\w+);", shader_src))
+    for u in set(re.findall(r"getUniformLocation\(\w+,\s*\"(\w+)\"\)", js)):
+        assert u in declared_u, f"uniform {u} not declared in any shader"
+    for a in set(re.findall(r"getAttribLocation\(\w+,\s*\"(\w+)\"\)", js)):
+        assert a in declared_a, f"attribute {a} not declared in any shader"
