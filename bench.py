@@ -47,6 +47,7 @@ def main():
         base_patch_grid_hw=(37, 37),
         fusion_channels=256,
         patch_size_px=14,
+        unroll_blocks=True,  # fixed-shape serving mode: ~12% faster encoder
         dtype=jnp.bfloat16,
     )
 

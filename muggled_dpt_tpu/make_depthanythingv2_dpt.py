@@ -38,6 +38,7 @@ def make_depthanythingv2_dpt(
     is_metric: bool = False,
     enable_cache: bool = True,
     enable_optimizations: bool = True,
+    unroll_blocks: bool = False,
     dtype=jnp.float32,
     seed: int = 0,
 ) -> DPTModel:
@@ -63,6 +64,7 @@ def make_depthanythingv2_dpt(
         "is_metric": is_metric,
         "enable_cache": enable_cache,
         "enable_optimizations": enable_optimizations,
+        "unroll_blocks": unroll_blocks,
     }
     params = random_depth_anything_params(config_dict, seed=seed)
     spec = make_family_spec(config_dict, version=2)
