@@ -24,10 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
-def chip_fps(run_one, probe, iters: int = 50) -> float:
+def chip_fps(run_one, probe, iters: int = 200) -> float:
     """Dispatch `iters` frames and block on a probe of the final result.
     The device executes queued programs in order, so the final probe bounds
-    completion of every frame."""
+    completion of every frame. 200 frames amortizes the tunnel's fixed ~25 ms
+    probe readback to ~0.13 ms/frame (measured: 50 iters reads 11.29 ms/frame,
+    200 iters 10.85 — the difference is the fixed cost, not the chip)."""
     results = [run_one() for _ in range(iters)]  # warm dispatch path
     np.asarray(probe(results[-1]))
     t0 = time.perf_counter()
@@ -62,7 +64,7 @@ def main():
     # warmup / compile with a full readback (validates the whole path)
     np.asarray(run_one())
 
-    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=50)
+    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=200)
     baseline_fps = 1000.0 / 34.0  # reference DA ViT-L fp16 @ 504^2
 
     print(
