@@ -202,6 +202,28 @@ class DPTModel:
         """Return a copy of this model with a different compute dtype."""
         return DPTModel(self.params, self.config, self.spec, dtype=dtype)
 
+    def quantize_encoder_int8(self, include_qkv: bool = False):
+        """Opt-in int8 (w8a8) serving tier: returns a copy whose encoder
+        transformer matmul weights are symmetric per-channel int8 (activations
+        quantized dynamically per token at run time — ops/quant.py). The v5e
+        MXU runs s8 matmuls at ~2x the bf16 rate and the int8 weights stream
+        from HBM at half the traffic. include_qkv=False (default) keeps the
+        attention qkv projection in the dense dtype: softmax amplifies qkv
+        quantization noise when attention logits are peaky, so the qkv matmul
+        is the dominant error source for a modest share of the speedup.
+        Accuracy/speed trade per variant is quantified in docs/performance.md;
+        the f32 parity path and bf16 default are unaffected. Currently wired
+        for the DINOv2 encoder (Depth-Anything V1/V2, incl. SwiGLU giant)."""
+        from .ops.quant import QUANTIZABLE, quantize_block_params
+
+        enc = self.params.get("encoder")
+        if not isinstance(enc, dict) or "blocks" not in enc:
+            raise NotImplementedError("int8 tier currently supports the DINOv2 (Depth-Anything) encoder")
+        subset = QUANTIZABLE if include_qkv else tuple(n for n in QUANTIZABLE if n != "qkv")
+        params = dict(self.params)
+        params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset)}
+        return DPTModel(params, self.config, self.spec, dtype=self._dtype)
+
 
 def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5) -> bool:
     """True if `needed_bytes` fits in the free device memory (with headroom).

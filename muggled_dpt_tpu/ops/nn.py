@@ -61,17 +61,22 @@ def gelu(x):
 
 
 def mlp_gelu(x, p):
-    """Linear -> GELU -> Linear."""
-    h = linear(x, p["fc1_kernel"], p["fc1_bias"])
-    h = gelu(h)
-    return linear(h, p["fc2_kernel"], p["fc2_bias"])
+    """Linear -> GELU -> Linear. Routed through the quant dispatcher so the
+    opt-in int8 serving tier (ops/quant.py) applies when `p` carries
+    quantized kernels; dense params take the plain matmul path."""
+    from .quant import linear_p
+
+    h = gelu(linear_p(x, p, "fc1"))
+    return linear_p(h, p, "fc2")
 
 
 def mlp_swiglu(x, p):
     """SwiGLU-FFN: Linear(silu(W_a x) * (W_b x)); W_a/W_b fused in w12."""
-    h = linear(x, p["w12_kernel"], p["w12_bias"])
+    from .quant import linear_p
+
+    h = linear_p(x, p, "w12")
     a, b = jnp.split(h, 2, axis=-1)
-    return linear(jax.nn.silu(a) * b, p["w3_kernel"], p["w3_bias"])
+    return linear_p(jax.nn.silu(a) * b, p, "w3")
 
 
 # ---------------------------------------------------------------------------
@@ -121,9 +126,11 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
     lets the pallas kernel consume the qkv matmul output directly — one dense
     per-head slab, no transposes.
     """
+    from .quant import linear_p
+
     b, n, c = tokens.shape
     d = c // num_heads
-    qkv = linear(tokens, p["qkv_kernel"], p.get("qkv_bias"))  # (B, N, [h][3][d])
+    qkv = linear_p(tokens, p, "qkv")  # (B, N, [h][3][d])
 
     if impl == "pallas" and not capture:
         from .pallas.flash_attention import (
@@ -134,7 +141,7 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
 
         if flash_attention_available() and n >= 512 and fused_qkv_supported(n, num_heads, d):
             out = flash_attention_fused_qkv(qkv, num_heads, bias=bias)
-            return linear(out, p["proj_kernel"], p["proj_bias"])
+            return linear_p(out, p, "proj")
 
     qkv = qkv.reshape(b, n, num_heads, 3, d)
     q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]  # (B, N, H, D)
@@ -144,7 +151,7 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
         out = sdpa(q, k, v, bias=bias, impl=impl)
         weights = None
     out = out.reshape(b, n, c)
-    out = linear(out, p["proj_kernel"], p["proj_bias"])
+    out = linear_p(out, p, "proj")
     return (out, weights) if capture else out
 
 

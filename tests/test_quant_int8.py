@@ -1,0 +1,60 @@
+"""Opt-in int8 (w8a8) encoder tier: quantized-weight representation, the
+dispatching linear, and end-to-end closeness to the f32 model. The tier is
+TPU-native headroom with no reference analog; correctness bar is that the
+dynamic-per-token/static-per-channel recipe stays within a small abs-rel of
+the dense model and round-trips the public API."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
+from muggled_dpt_tpu.ops.quant import linear_w8a8, quantize_weight
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 16, 24)) * 0.2, jnp.float32)  # stacked (L, in, out)
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (3, 1, 24)
+    deq = q.astype(jnp.float32) * s
+    # per-channel symmetric int8: worst-case error is half a step
+    step = np.asarray(s)
+    assert np.all(np.abs(np.asarray(deq - w)) <= step / 2 + 1e-7)
+
+
+def test_linear_w8a8_close_to_dense():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 37, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 96)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(96) * 0.1, jnp.float32)
+    q, s = quantize_weight(w)
+    got = np.asarray(linear_w8a8(x, q, s, b))
+    ref = np.asarray(x @ w + b)
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 2e-2
+
+
+@pytest.mark.parametrize("is_giant,include_qkv", [(False, False), (False, True), (True, False)])
+def test_int8_model_end_to_end(is_giant, include_qkv):
+    m = make_depthanythingv2_dpt(
+        64, 2, 4, (8, 16, 32, 64), (8, 8), 16, is_giant=is_giant, dtype=jnp.float32
+    )
+    q = m.quantize_encoder_int8(include_qkv=include_qkv)
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+    d1 = np.asarray(q.inference(img), np.float32)
+    assert d1.shape == d0.shape
+    absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+    assert absrel < 1e-2, absrel
+    # introspection mode still runs on the quantized model
+    bchw = q.prepare_image_bgr(img)
+    depth, internals = q.forward_with_internals(bchw)
+    assert len(internals["attention"]) == 4
+
+
+def test_int8_unsupported_family_raises():
+    s = make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
+    with pytest.raises(NotImplementedError):
+        s.quantize_encoder_int8()

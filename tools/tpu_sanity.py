@@ -100,6 +100,16 @@ def main():
         absrel = float(np.abs(d16 - d32).mean() / (np.abs(d32).mean() + 1e-12))
         ok &= check(f"{name} bf16 abs-rel vs f32", absrel < budget, f"{absrel:.2e} @ {d32.shape}")
 
+    # int8 serving-tier recipe check on hardware: the dynamic-per-token /
+    # static-per-channel w8a8 path must stay close to the dense model at the
+    # mid scale (recipe-level gate; full ViT-L random-weight numbers are
+    # dominated by chaotic neck amplification — see docs/performance.md).
+    m16 = make_depthanythingv2_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=jnp.bfloat16)
+    d_dense = np.asarray(m16.inference(img_big), np.float32)
+    d_q8 = np.asarray(m16.quantize_encoder_int8().inference(img_big), np.float32)
+    absrel = float(np.abs(d_q8 - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
+    ok &= check("DA-V2 F256L12 int8 tier abs-rel vs bf16", absrel < 5e-2, f"{absrel:.2e}")
+
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
 
