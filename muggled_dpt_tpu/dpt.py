@@ -212,8 +212,9 @@ class DPTModel:
         quantization noise when attention logits are peaky, so the qkv matmul
         is the dominant error source for a modest share of the speedup.
         Accuracy/speed trade per variant is quantified in docs/performance.md;
-        the f32 parity path and bf16 default are unaffected. Currently wired
-        for the DINOv2 encoder (Depth-Anything V1/V2, incl. SwiGLU giant)."""
+        the f32 parity path and bf16 default are unaffected. Wired for the
+        DINOv2 (Depth-Anything V1/V2, incl. SwiGLU giant) and BEiT encoders;
+        SwinV2's per-stage windowed attention keeps its dense path."""
         from .ops.quant import QUANTIZABLE, quantize_block_params
 
         enc = self.params.get("encoder")

@@ -110,12 +110,16 @@ def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
         ],
         axis=1,
     ).reshape(3 * cfg.features)
+    # pass through dense or int8-quantized kernel variants (ops/quant.py)
     attn_params = {
-        "qkv_kernel": bp["qkv_kernel"],
-        "qkv_bias": qkv_bias,
-        "proj_kernel": bp["proj_kernel"],
-        "proj_bias": bp["proj_bias"],
+        k: bp[k]
+        for k in (
+            "qkv_kernel", "qkv_kernel_q8", "qkv_kernel_scale",
+            "proj_kernel", "proj_kernel_q8", "proj_kernel_scale", "proj_bias",
+        )
+        if k in bp
     }
+    attn_params["qkv_bias"] = qkv_bias
     h = layer_norm(tokens, bp["norm1_scale"], bp["norm1_bias"])
     bias = bias_hnn[None]  # (1, H, N, N), broadcast over batch
     if capture:

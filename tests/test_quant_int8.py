@@ -54,6 +54,18 @@ def test_int8_model_end_to_end(is_giant, include_qkv):
     assert len(internals["attention"]) == 4
 
 
+def test_int8_beit_end_to_end():
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.float32)
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+    for include_qkv in (False, True):
+        d1 = np.asarray(m.quantize_encoder_int8(include_qkv).inference(img), np.float32)
+        absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+        assert absrel < 1e-2, (include_qkv, absrel)
+
+
 def test_int8_unsupported_family_raises():
     s = make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
     with pytest.raises(NotImplementedError):
