@@ -229,8 +229,28 @@ function syncLabels() {
 syncLabels();
 
 // orbit controls
+const HOME = { yaw: 0, pitch: 0, dist: 1.6, target: [0, 0, 0.3] };
+function resetView() {
+  state.yaw = HOME.yaw; state.pitch = HOME.pitch;
+  state.dist = HOME.dist; state.target = HOME.target.slice();
+}
 let dragging = false, panning = false, lastXY = [0, 0];
 canvas.addEventListener("mousedown", (e) => { dragging = true; panning = e.shiftKey; lastXY = [e.clientX, e.clientY]; });
+canvas.addEventListener("dblclick", () => resetView());
+window.addEventListener("keydown", (e) => {
+  // keyboard orbit/zoom (reference orbitcam.js key controls): arrows orbit,
+  // +/- zoom, R resets
+  const step = e.shiftKey ? 0.15 : 0.05;
+  if (e.key === "ArrowLeft") state.yaw += step;
+  else if (e.key === "ArrowRight") state.yaw -= step;
+  else if (e.key === "ArrowUp") state.pitch = Math.min(1.5, state.pitch + step);
+  else if (e.key === "ArrowDown") state.pitch = Math.max(-1.5, state.pitch - step);
+  else if (e.key === "+" || e.key === "=") state.dist = Math.max(0.2, state.dist * 0.9);
+  else if (e.key === "-") state.dist = Math.min(8, state.dist * 1.1);
+  else if (e.key === "r" || e.key === "R") resetView();
+  else return;
+  e.preventDefault();
+});
 window.addEventListener("mouseup", () => { dragging = false; });
 window.addEventListener("mousemove", (e) => {
   if (!dragging) return;

@@ -5,7 +5,25 @@ execution of any kind). The TPU-native extension scales via jax.sharding:
 a ("data", "model") mesh where the batch is sharded over `data` (frame-level
 parallelism for run_video-style streaming) and the wide encoder matmuls are
 sharded over `model` (tensor parallelism). XLA inserts the collectives; they
-ride ICI on a real slice."""
+ride ICI on a real slice.
+
+Why dp x tp are THE parallelism axes for this model class (and the others
+deliberately are not):
+* data: depth inference is embarrassingly frame-parallel; it is the
+  throughput axis for serving and the batch axis for fine-tuning.
+* model (Megatron column/row split): the only way to cut single-frame
+  latency; ViT-L's 4096-wide MLP shards to 4 chips while staying MXU-sized
+  (_spec_for_param caps model at 4 so >=4 heads / >=1024 hidden per shard).
+* pipeline (pp): possible over the identical transformer blocks, but at
+  ViT-L-depth scale the activations-per-microbatch are tiny; pp adds bubble
+  latency without relieving any memory pressure — tp is strictly better on
+  an ICI-connected slice for these model sizes (the whole ViT-G is 5 GB,
+  a fraction of one chip's HBM).
+* sequence (sp): token counts top out at ~18.5k (1904^2 / 14^2); activation
+  memory is nowhere near the HBM ceiling, so sharding LN/elementwise over
+  tokens would add all-gathers around every attention for no benefit.
+* expert (ep): no DPT family has MoE layers; there is nothing to shard.
+"""
 
 from __future__ import annotations
 
