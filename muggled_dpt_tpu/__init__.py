@@ -6,18 +6,24 @@ loading the original .pt/.pth checkpoints unchanged."""
 
 import os as _os
 
-# Some PJRT plugin environments override the JAX_PLATFORMS env var during
-# plugin registration (e.g. rewriting it to "axon,cpu" at jax import, so a
-# JAX_PLATFORMS=cpu subprocess still grabs the exclusive TPU). Restore stock
-# JAX semantics: the env var wins whenever the registered config disagrees.
+# Some PJRT plugin environments register a TPU platform in jax.config during
+# plugin import, so a JAX_PLATFORMS=cpu subprocess still grabs the exclusive
+# TPU device. Re-assert the env var — but ONLY for the cpu-isolation case
+# (env requests exactly "cpu" and the config disagrees): that is the known
+# plugin-override failure, and narrowing avoids clobbering a caller's own
+# explicit jax.config.update("jax_platforms", ...), which stock JAX lets win
+# over the env var. Escape hatch: set MUGGLED_DPT_TPU_NO_PLATFORM_FIX=1.
 # Only effective before backend initialization, i.e. when muggled_dpt_tpu is
 # imported before any jax computation — true for all apps/tools in this repo.
-if _os.environ.get("JAX_PLATFORMS"):
+if (
+    _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+    and not _os.environ.get("MUGGLED_DPT_TPU_NO_PLATFORM_FIX")
+):
     import jax as _jax
 
     try:
-        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
-            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        if _jax.config.jax_platforms != "cpu":
+            _jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
 

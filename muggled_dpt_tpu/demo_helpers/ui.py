@@ -54,8 +54,14 @@ class UIElement:
 
     def on_mouse_elsewhere(self):
         """Called when the cursor is over a *different* element, so hover
-        state and in-progress drags can be cleared."""
+        state can be cleared."""
         pass
+
+    def wants_mouse(self) -> bool:
+        """True while a drag owned by this element is in progress; stacks keep
+        routing events to it even when the cursor leaves its row/column (the
+        scrub/drag shouldn't cancel on a few pixels of overshoot)."""
+        return False
 
 
 class Slider(UIElement):
@@ -108,6 +114,9 @@ class Slider(UIElement):
             pad = 10
             t = np.clip((x - pad) / max(getattr(self, "_width", 300) - 2 * pad, 1), 0, 1)
             self.set(self.min + t * (self.max - self.min), flag_change=True)
+
+    def wants_mouse(self):
+        return self._dragging
 
 
 class ToggleButton(UIElement):
@@ -363,8 +372,9 @@ class ImageDisplay(UIElement):
 
     def on_mouse_elsewhere(self):
         self.hover_xy_norm = None
-        for m in self._markers:
-            m._dragging = False
+
+    def wants_mouse(self):
+        return any(m._dragging for m in self._markers)
 
 
 class LinePlot(UIElement):
@@ -506,28 +516,34 @@ class PlaybackBar(UIElement):
         if self._dragging and event == cv2.EVENT_MOUSEMOVE:
             self._scrub_to(x)
 
-    def on_mouse_elsewhere(self):
-        self._dragging = False
+    def wants_mouse(self):
+        return self._dragging
 
 
 class HStack(UIElement):
     """Horizontal row of elements sharing one bar height (reference
-    toadui/layout.py). Children split the width equally."""
+    toadui/layout.py). Children split the width equally; the row height
+    tracks the tallest child's natural height each render (image panels
+    change aspect when their content changes), and any child stretched to
+    the row height gets its mouse-normalization size fixed up to match."""
 
     def __init__(self, *elements, height=None):
         self.elements = [e for e in elements if e is not None]
+        self._fixed_height = height
         self.height = height or max((e.height for e in self.elements), default=34)
 
     def render(self, width):
         n = max(len(self.elements), 1)
         widths = [width // n] * n
         widths[-1] += width - sum(widths)
-        parts = []
-        for e, w in zip(self.elements, widths):
-            img = e.render(w)
-            if img.shape[0] != self.height:
-                img = cv2.resize(img, (w, self.height))
-            parts.append(img)
+        parts = [e.render(w) for e, w in zip(self.elements, widths)]
+        self.height = self._fixed_height or max(p.shape[0] for p in parts)
+        for i, (e, w) in enumerate(zip(self.elements, widths)):
+            if parts[i].shape[0] != self.height:
+                parts[i] = cv2.resize(parts[i], (w, self.height))
+                if isinstance(e, ImageDisplay):
+                    # hover/marker math must use the displayed size
+                    e._render_wh = (w, self.height)
         self._widths = widths
         return np.hstack(parts)
 
@@ -536,8 +552,13 @@ class HStack(UIElement):
         for i, e in enumerate(self.elements):
             if offs[i] <= x < offs[i + 1]:
                 e.on_mouse(x - offs[i], y, event, flags)
+            elif e.wants_mouse():  # drags survive horizontal overshoot
+                e.on_mouse(int(np.clip(x - offs[i], 0, offs[i + 1] - offs[i] - 1)), y, event, flags)
             else:
                 e.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return any(e.wants_mouse() for e in self.elements)
 
     def on_mouse_elsewhere(self):
         for e in self.elements:
@@ -562,9 +583,10 @@ class VStack:
         for i, e in enumerate(self.elements):
             if offs[i] <= y < offs[i + 1]:
                 e.on_mouse(x, y - offs[i], event, flags)
-                # sliders keep dragging even when the cursor leaves their bar
-            elif isinstance(e, Slider) and e._dragging:
-                e.on_mouse(x, 0, event, flags)
+            elif e.wants_mouse():
+                # in-progress drags (sliders, playback scrub, image markers)
+                # survive the cursor leaving their row
+                e.on_mouse(x, int(np.clip(y - offs[i], 0, offs[i + 1] - offs[i] - 1)), event, flags)
             else:
                 e.on_mouse_elsewhere()
 

@@ -239,7 +239,9 @@ canvas.addEventListener("mousedown", (e) => { dragging = true; panning = e.shift
 canvas.addEventListener("dblclick", () => resetView());
 window.addEventListener("keydown", (e) => {
   // keyboard orbit/zoom (reference orbitcam.js key controls): arrows orbit,
-  // +/- zoom, R resets
+  // +/- zoom, R resets. Focused form controls keep their native keys.
+  const tag = (document.activeElement || {}).tagName;
+  if (tag === "INPUT" || tag === "SELECT" || tag === "TEXTAREA") return;
   const step = e.shiftKey ? 0.15 : 0.05;
   if (e.key === "ArrowLeft") state.yaw += step;
   else if (e.key === "ArrowRight") state.yaw -= step;

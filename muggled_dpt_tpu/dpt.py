@@ -35,7 +35,9 @@ class DPTModel:
         self.config = dict(config_dict)
         self.spec = family_spec
         self._dtype = jnp.dtype(dtype)
-        self.params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=self._cast_dtype(a)), params)
+        self.params = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.asarray(a, dtype=self._cast_dtype(a, path)), params
+        )
         self._mean = np.asarray(family_spec["mean_rgb"], dtype=np.float32)
         self._std = np.asarray(family_spec["std_rgb"], dtype=np.float32)
         self.patch_size_px = family_spec["patch_size_px"]
@@ -70,8 +72,12 @@ class DPTModel:
         self._prep_jit = jax.jit(_prep, static_argnums=(1,))
         self._capture_fn = family_spec.get("forward_capture")
 
-    def _cast_dtype(self, a):
+    def _cast_dtype(self, a, path=()):
         a = np.asarray(a)
+        # int8 dequant scales stay f32: bf16-rounding them would add ~0.3%
+        # per-channel error on top of the int8 error (ops/quant.py recipe)
+        if path and str(getattr(path[-1], "key", "")).endswith("_kernel_scale"):
+            return a.dtype
         return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
 
     # -- reference API ------------------------------------------------------

@@ -263,6 +263,11 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
                 _onepass_kernel(q_ref, k_ref, v_ref, o_ref, kv_len=n, bias_ref=b_ref)
 
+        kwargs = {}
+        if _HAS_PLTPU and not interpret:
+            # the (block_q, n_pad) f32 logit tile alone reaches 16 MiB at
+            # N=2048 — raise the scoped-VMEM budget like the fused-qkv path
+            kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -270,6 +275,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
             interpret=interpret,
+            **kwargs,
         )(*args)
         return out[:, :n, :]
 

@@ -63,12 +63,9 @@ def linear_p(x, p, name: str):
     q8 = p.get(name + "_kernel_q8")
     if q8 is not None:
         return linear_w8a8(x, q8, p[name + "_kernel_scale"], p.get(name + "_bias"))
-    kernel = p[name + "_kernel"]
-    y = x @ kernel.astype(x.dtype)
-    bias = p.get(name + "_bias")
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
-    return y
+    from .nn import linear
+
+    return linear(x, p[name + "_kernel"], p.get(name + "_bias"))
 
 
 def quantize_block_params(stacked_blocks: dict, subset=QUANTIZABLE) -> dict:
