@@ -219,16 +219,25 @@ class DPTModel:
         is the dominant error source for a modest share of the speedup.
         Accuracy/speed trade per variant is quantified in docs/performance.md;
         the f32 parity path and bf16 default are unaffected. Wired for the
-        DINOv2 (Depth-Anything V1/V2, incl. SwiGLU giant) and BEiT encoders;
-        SwinV2's per-stage windowed attention keeps its dense path."""
+        DINOv2 (Depth-Anything V1/V2, incl. SwiGLU giant) and BEiT encoders
+        (full subset) and SwinV2 (MLP matmuls only — its windowed attention
+        qkv/proj take the plain-linear path by design)."""
         from .ops.quant import QUANTIZABLE, quantize_block_params
 
         enc = self.params.get("encoder")
-        if not isinstance(enc, dict) or "blocks" not in enc:
-            raise NotImplementedError("int8 tier currently supports the DINOv2 (Depth-Anything) encoder")
-        subset = QUANTIZABLE if include_qkv else tuple(n for n in QUANTIZABLE if n != "qkv")
         params = dict(self.params)
-        params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset)}
+        subset = QUANTIZABLE if include_qkv else tuple(n for n in QUANTIZABLE if n != "qkv")
+        if isinstance(enc, dict) and "blocks" in enc:
+            params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset)}
+        elif isinstance(enc, dict) and "stages" in enc:
+            mlp_subset = tuple(n for n in subset if n in ("fc1", "fc2"))
+            stages = [
+                {k: (quantize_block_params(v, mlp_subset) if k in ("b0", "b1") else v) for k, v in stage.items()}
+                for stage in enc["stages"]
+            ]
+            params["encoder"] = {**enc, "stages": stages}
+        else:
+            raise NotImplementedError("int8 tier: unrecognized encoder parameter layout")
         return DPTModel(params, self.config, self.spec, dtype=self._dtype)
 
 

@@ -66,7 +66,14 @@ def test_int8_beit_end_to_end():
         assert absrel < 1e-2, (include_qkv, absrel)
 
 
-def test_int8_unsupported_family_raises():
+def test_int8_swinv2_mlp_only():
     s = make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
-    with pytest.raises(NotImplementedError):
-        s.quantize_encoder_int8()
+    q = s.quantize_encoder_int8()
+    # only the MLP matmuls are quantized; attention qkv stays dense
+    b0 = q.params["encoder"]["stages"][0]["b0"]
+    assert "fc1_kernel_q8" in b0 and "qkv_kernel" in b0 and "qkv_kernel_q8" not in b0
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(s.inference(img), np.float32)
+    d1 = np.asarray(q.inference(img), np.float32)
+    absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+    assert absrel < 1e-2, absrel
