@@ -92,3 +92,13 @@ def test_experiments_headless(fixtures):
         )
         assert r.returncode == 0, (script, r.stderr[-2000:])
         assert marker in r.stdout, (script, r.stdout[-500:])
+
+
+def test_internal_features_example(fixtures):
+    """The 'executable shape spec' example runs all five components manually."""
+    r = _run(
+        [osp.join(REPO_ROOT, "simple_examples", "internal_features.py"), "-m", fixtures["ckpt"]],
+        cwd=fixtures["dir"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "depth" in r.stdout.lower()
