@@ -74,3 +74,22 @@ def test_uint8_image_path():
     ref = F.interpolate(torch.from_numpy(x), size=(56, 84), mode="bilinear", align_corners=False, antialias=True).numpy()
     got = _run_ours(x, (56, 84), "bilinear", False, True)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_bf16_dense_matmul_branch_matches_two_tap():
+    """The bf16 speed path applies the SAME 2-tap weights as dense MXU
+    matmuls (ops/resize.py); it must agree with the f32 exact-lerp path to
+    within bf16 rounding, for both upsample ratios the model uses."""
+    import jax.numpy as jnp
+    from muggled_dpt_tpu.ops.resize import resize_2d
+
+    rng = np.random.default_rng(3)
+    for (hw_in, hw_out, c) in ((36, 63, 8), (20, 40, 16)):
+        x32 = rng.standard_normal((1, hw_in, hw_in, c)).astype(np.float32)
+        ref = np.asarray(resize_2d(jnp.asarray(x32), (hw_out, hw_out), mode="bilinear", align_corners=True))
+        got = np.asarray(
+            resize_2d(jnp.asarray(x32, jnp.bfloat16), (hw_out, hw_out), mode="bilinear", align_corners=True),
+            np.float32,
+        )
+        denom = max(np.abs(ref).max(), 1e-9)
+        assert np.max(np.abs(got - ref)) / denom < 3e-2, (hw_in, hw_out)
