@@ -188,6 +188,7 @@ def main():
     parser.add_argument("--host", default="localhost")
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
+    parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (see docs/performance.md)")
     args = parser.parse_args()
 
     from muggled_dpt_tpu.demo_helpers.misc import select_device
@@ -207,6 +208,12 @@ def main():
     device_config = make_device_config(use_float32=args.use_float32)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
     config, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"])
+    if args.int8:
+        try:
+            model = model.quantize_encoder_int8()
+            print("  int8 encoder tier enabled")
+        except NotImplementedError as e:
+            print(f"  --int8 unavailable for this family ({e}); using dense path")
     is_metric = bool(config.get("is_metric", False))
     max_side = args.base_size_px or model.default_size_px
 
