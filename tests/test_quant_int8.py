@@ -77,3 +77,20 @@ def test_int8_swinv2_mlp_only():
     d1 = np.asarray(q.inference(img), np.float32)
     absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
     assert absrel < 1e-2, absrel
+
+
+def test_int8_model_exports_to_stablehlo():
+    """The int8 tier must survive the serialization path (export_model.py's
+    jax.export/StableHLO analog of ONNX): s8 dots serialize and round-trip."""
+    import jax
+    from jax import export as jax_export
+
+    m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    q = m.quantize_encoder_int8()
+    fwd = q.spec["forward"]
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    reloaded = jax_export.deserialize(jax_export.export(jax.jit(fwd))(q.params, x).serialize())
+    xr = jnp.asarray(np.random.default_rng(0).standard_normal((1, 112, 112, 3)) * 0.5, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.call(q.params, xr)), np.asarray(fwd(q.params, xr)), rtol=1e-6, atol=1e-6
+    )
