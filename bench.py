@@ -39,7 +39,11 @@ def chip_fps(run_one, probe, iters: int = 200) -> float:
 
 
 def main():
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
     from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    # the unroll-mode ViT-L compile takes minutes cold; persist it across runs
+    enable_compilation_cache()
 
     model = make_depthanythingv2_dpt(
         features_per_token=1024,
