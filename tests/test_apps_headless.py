@@ -102,3 +102,29 @@ def test_internal_features_example(fixtures):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "depth" in r.stdout.lower()
+
+
+def test_run_image_headless_beit_and_swinv2(fixtures, tmp_path):
+    """The app surface works for the MiDaS families too (auto-loader sniffing
+    included): tiny original-format checkpoints through run_image."""
+    from muggled_dpt_tpu.checkpoints.beit import random_original_state_dict as beit_sd
+    from muggled_dpt_tpu.checkpoints.swinv2 import random_original_state_dict as swin_sd
+
+    beit_cfg = {"features_per_token": 64, "num_blocks": 8, "num_heads": 4,
+                "reassembly_features_list": [8, 16, 32, 64], "fusion_channels": 16,
+                "patch_size_px": 16, "base_patch_grid_hw": (6, 6)}
+    swin_cfg = {"features_per_stage": [16, 32, 64, 128], "heads_per_stage": [2, 4, 4, 8],
+                "layers_per_stage": [2, 2, 4, 2], "base_patch_grid_hw": (16, 16),
+                "window_size_hw": (4, 4), "pretrained_window_sizes_per_stage": [None] * 4,
+                "fusion_channels": 16, "patch_size_px": 4}
+    for name, sd in (("dpt_beit_tiny_512.pt", beit_sd(beit_cfg, seed=3)),
+                     ("dpt_swin2_tiny_256.pt", swin_sd(swin_cfg, seed=3))):
+        ckpt = str(tmp_path / name)
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+        r = _run(
+            [osp.join(REPO_ROOT, "run_image.py"), "-m", ckpt, "-i", fixtures["img"],
+             "--headless", "-d", "cpu", "-f32"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, (name, r.stderr[-2000:])
+        assert "Saved:" in r.stdout, name
