@@ -32,6 +32,7 @@ try:
 
     _HAS_PLTPU = True
 except ImportError:  # pragma: no cover
+    pltpu = None
     _HAS_PLTPU = False
 
 
@@ -92,6 +93,11 @@ def fused_ln_mlp_residual(
     """out = x + layerscale * fc2(gelu(fc1(layernorm(x)))).
 
     x: (B, N, F). w1: (F, H). w2: (H, F)."""
+    if not _HAS_PLTPU:
+        raise RuntimeError(
+            "fused_ln_mlp_residual needs jax.experimental.pallas.tpu "
+            "(pltpu VMEM scratch) — unavailable in this jax build, even for interpret mode"
+        )
     bsz, n, f = x.shape
     hidden = w1.shape[1]
     rows = bsz * n

@@ -60,9 +60,14 @@ def stack_blocks(per_block_dicts: list[dict]) -> dict:
 
 
 def max_index(state_dict: dict, prefix: str, nth: int = 0) -> int:
-    """Largest integer appearing right after `prefix.` across keys."""
+    """Largest integer appearing right after `prefix.` across keys.
+
+    `prefix` must be a literal key prefix (no '#' digit wildcards): the suffix
+    is sliced at len(prefix), which would misalign if '#' matched a
+    different-length digit run."""
     from .key_regex import get_nth_integer, has_prefix
 
+    assert "#" not in prefix, "max_index requires a literal prefix (no '#' wildcards)"
     best = -1
     for k in state_dict:
         if has_prefix(k, prefix + ".#."):

@@ -549,11 +549,16 @@ class HStack(UIElement):
 
     def on_mouse(self, x, y, event, flags=0):
         offs = np.cumsum([0] + getattr(self, "_widths", []))
+        # exclusive drag routing: while one child owns a drag, only it gets
+        # live events (clipped into its band so the drag survives overshoot);
+        # everything else sees on_mouse_elsewhere — otherwise releasing a drag
+        # over a neighbor would spuriously trigger its LBUTTONUP handling
+        drag_owner = next((e for e in self.elements if e.wants_mouse()), None)
         for i, e in enumerate(self.elements):
-            if offs[i] <= x < offs[i + 1]:
-                e.on_mouse(x - offs[i], y, event, flags)
-            elif e.wants_mouse():  # drags survive horizontal overshoot
+            if e is drag_owner:
                 e.on_mouse(int(np.clip(x - offs[i], 0, offs[i + 1] - offs[i] - 1)), y, event, flags)
+            elif drag_owner is None and offs[i] <= x < offs[i + 1]:
+                e.on_mouse(x - offs[i], y, event, flags)
             else:
                 e.on_mouse_elsewhere()
 
@@ -580,15 +585,19 @@ class VStack:
         offs = getattr(self, "_offsets", None)
         if offs is None:
             return
+        # exclusive drag routing (see HStack.on_mouse): the drag owner gets
+        # events clipped into its row; everyone else gets on_mouse_elsewhere
+        drag_owner = next((e for e in self.elements if e.wants_mouse()), None)
         for i, e in enumerate(self.elements):
-            if offs[i] <= y < offs[i + 1]:
-                e.on_mouse(x, y - offs[i], event, flags)
-            elif e.wants_mouse():
-                # in-progress drags (sliders, playback scrub, image markers)
-                # survive the cursor leaving their row
+            if e is drag_owner:
                 e.on_mouse(x, int(np.clip(y - offs[i], 0, offs[i + 1] - offs[i] - 1)), event, flags)
+            elif drag_owner is None and offs[i] <= y < offs[i + 1]:
+                e.on_mouse(x, y - offs[i], event, flags)
             else:
                 e.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return any(e.wants_mouse() for e in self.elements)
 
     def on_mouse_elsewhere(self):
         for e in self.elements:

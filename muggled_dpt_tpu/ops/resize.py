@@ -207,6 +207,7 @@ def resize_2d(
         if out_w != w:
             ww = jnp.asarray(_resize_matrix_np(w, out_w, "linear", align_corners, False), compute_dtype)
             x = jnp.einsum("ow,nhwc->nhoc", ww, x, preferred_element_type=compute_dtype)
+        x = x.astype(orig_dtype)
         if squeeze == [0, -1]:
             return x[0, :, :, 0]
         if squeeze == [0]:
