@@ -188,34 +188,47 @@ def random_original_state_dict(config: dict, seed: int = 0) -> dict:
         sd[f"{pre}.mlp.fc2.weight"] = w(f, hidden)
         sd[f"{pre}.mlp.fc2.bias"] = w(f)
 
+    # Neck conv weights use fan-in (He-like) scaling so the synthetic fusion/
+    # head chain has ~unit gain: with a flat 0.05 scale the 256-channel 3x3
+    # convs amplify ~2.4x each, the fused map reaches std ~500 and the head's
+    # final ReLU output is dominated by a single random scalar (sum(W)*mean(h)),
+    # clipping 80-95% of depth outputs to zero and poisoning every
+    # low-precision error measurement on these fixtures (round-3 diagnosis,
+    # docs/performance.md).
+    def cw(co, ci, k):
+        return w(co, ci, k, k, scale=1.0 / math.sqrt(ci * k * k))
+
     for s, r in zip(range(1, 5), reassembly):
         pre = f"pretrained.act_postprocess{s}"
-        sd[f"{pre}.0.project.0.weight"] = w(f, 2 * f)
+        sd[f"{pre}.0.project.0.weight"] = w(f, 2 * f, scale=1.0 / math.sqrt(2 * f))
         sd[f"{pre}.0.project.0.bias"] = w(f)
-        sd[f"{pre}.3.weight"] = w(r, f, 1, 1)
+        sd[f"{pre}.3.weight"] = cw(r, f, 1)
         sd[f"{pre}.3.bias"] = w(r)
-        sd[f"scratch.layer{s}_rn.weight"] = w(cf, r, 3, 3)
-    sd["pretrained.act_postprocess1.4.weight"] = w(reassembly[0], reassembly[0], 4, 4)
+        sd[f"scratch.layer{s}_rn.weight"] = cw(cf, r, 3)
+    sd["pretrained.act_postprocess1.4.weight"] = cw(reassembly[0], reassembly[0], 4)
     sd["pretrained.act_postprocess1.4.bias"] = w(reassembly[0])
-    sd["pretrained.act_postprocess2.4.weight"] = w(reassembly[1], reassembly[1], 2, 2)
+    sd["pretrained.act_postprocess2.4.weight"] = cw(reassembly[1], reassembly[1], 2)
     sd["pretrained.act_postprocess2.4.bias"] = w(reassembly[1])
-    sd["pretrained.act_postprocess4.4.weight"] = w(reassembly[3], reassembly[3], 3, 3)
+    sd["pretrained.act_postprocess4.4.weight"] = cw(reassembly[3], reassembly[3], 3)
     sd["pretrained.act_postprocess4.4.bias"] = w(reassembly[3])
 
     for k in range(1, 5):
         pre = f"scratch.refinenet{k}"
         for unit in (1, 2):
             for conv in (1, 2):
-                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = w(cf, cf, 3, 3)
+                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = cw(cf, cf, 3)
                 sd[f"{pre}.resConfUnit{unit}.conv{conv}.bias"] = w(cf)
-        sd[f"{pre}.out_conv.weight"] = w(cf, cf, 1, 1)
+        sd[f"{pre}.out_conv.weight"] = cw(cf, cf, 1)
         sd[f"{pre}.out_conv.bias"] = w(cf)
 
     ch = cf // 2
-    sd["scratch.output_conv.0.weight"] = w(ch, cf, 3, 3)
+    sd["scratch.output_conv.0.weight"] = cw(ch, cf, 3)
     sd["scratch.output_conv.0.bias"] = w(ch)
-    sd["scratch.output_conv.2.weight"] = w(32, ch, 3, 3)
+    sd["scratch.output_conv.2.weight"] = cw(32, ch, 3)
     sd["scratch.output_conv.2.bias"] = w(32)
-    sd["scratch.output_conv.4.weight"] = w(1, 32, 1, 1)
-    sd["scratch.output_conv.4.bias"] = w(1)
+    sd["scratch.output_conv.4.weight"] = w(1, 32, 1, 1, scale=0.3 / math.sqrt(32))
+    # positive final bias: keep synthetic depth mostly above the ReLU clip so
+    # low-precision error metrics aren't dominated by boundary flips (see the
+    # matching note in checkpoints/swinv2.py and docs/performance.md)
+    sd["scratch.output_conv.4.bias"] = np.float32(2.0) + w(1)
     return sd

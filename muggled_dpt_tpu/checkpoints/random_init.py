@@ -11,6 +11,8 @@ Two uses:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -72,10 +74,20 @@ def random_original_depth_anything_state_dict(config: dict, seed: int = 0) -> di
             sd[f"{pre}.mlp.fc2.weight"] = w(f, hidden)
             sd[f"{pre}.mlp.fc2.bias"] = w(f)
 
+    # Neck conv weights use fan-in (He-like) scaling so the synthetic fusion/
+    # head chain has ~unit gain: with a flat 0.05 scale the 256-channel 3x3
+    # convs amplify ~2.4x each, the fused map reaches std ~500 and the head's
+    # final ReLU output is dominated by a single random scalar (sum(W)*mean(h)),
+    # clipping 80-95% of depth outputs to zero and poisoning every
+    # low-precision error measurement on these fixtures (round-3 diagnosis,
+    # docs/performance.md).
+    def cw(co, ci, k):
+        return w(co, ci, k, k, scale=1.0 / math.sqrt(ci * k * k))
+
     for i, r in enumerate(reassembly):
         sd[f"depth_head.projects.{i}.weight"] = w(r, f, 1, 1)
         sd[f"depth_head.projects.{i}.bias"] = w(r)
-        sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = w(cf, r, 3, 3)
+        sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = cw(cf, r, 3)
     sd["depth_head.resize_layers.0.weight"] = w(reassembly[0], reassembly[0], 4, 4)
     sd["depth_head.resize_layers.0.bias"] = w(reassembly[0])
     sd["depth_head.resize_layers.1.weight"] = w(reassembly[1], reassembly[1], 2, 2)
@@ -87,18 +99,21 @@ def random_original_depth_anything_state_dict(config: dict, seed: int = 0) -> di
         pre = f"depth_head.scratch.refinenet{k}"
         for unit in (1, 2):
             for conv in (1, 2):
-                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = w(cf, cf, 3, 3)
+                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = cw(cf, cf, 3)
                 sd[f"{pre}.resConfUnit{unit}.conv{conv}.bias"] = w(cf)
-        sd[f"{pre}.out_conv.weight"] = w(cf, cf, 1, 1)
+        sd[f"{pre}.out_conv.weight"] = cw(cf, cf, 1)
         sd[f"{pre}.out_conv.bias"] = w(cf)
 
     ch = cf // 2
-    sd["depth_head.scratch.output_conv1.weight"] = w(ch, cf, 3, 3)
+    sd["depth_head.scratch.output_conv1.weight"] = cw(ch, cf, 3)
     sd["depth_head.scratch.output_conv1.bias"] = w(ch)
-    sd["depth_head.scratch.output_conv2.0.weight"] = w(32, ch, 3, 3)
+    sd["depth_head.scratch.output_conv2.0.weight"] = cw(32, ch, 3)
     sd["depth_head.scratch.output_conv2.0.bias"] = w(32)
-    sd["depth_head.scratch.output_conv2.2.weight"] = w(1, 32, 1, 1)
-    sd["depth_head.scratch.output_conv2.2.bias"] = w(1)
+    sd["depth_head.scratch.output_conv2.2.weight"] = w(1, 32, 1, 1, scale=0.3 / math.sqrt(32))
+    # positive final bias: keep synthetic depth mostly above the ReLU clip so
+    # low-precision error metrics aren't dominated by boundary flips (see the
+    # matching note in checkpoints/swinv2.py and docs/performance.md)
+    sd["depth_head.scratch.output_conv2.2.bias"] = np.float32(2.0) + w(1)
     return sd
 
 

@@ -180,26 +180,41 @@ def random_original_state_dict(config: dict, seed: int = 0) -> dict:
             sd[f"{pre}.norm.weight"] = 1.0 + w(feats[s + 1])
             sd[f"{pre}.norm.bias"] = w(feats[s + 1])
 
+    # Neck conv weights use fan-in (He-like) scaling so the synthetic fusion/
+    # head chain has ~unit gain: with a flat 0.05 scale the 256-channel 3x3
+    # convs amplify ~2.4x each, the fused map reaches std ~500 and the head's
+    # final ReLU output is dominated by a single random scalar (sum(W)*mean(h)),
+    # clipping 80-95% of depth outputs to zero and poisoning every
+    # low-precision error measurement on these fixtures (round-3 diagnosis,
+    # docs/performance.md).
+    def cw(co, ci, k):
+        return w(co, ci, k, k, scale=1.0 / math.sqrt(ci * k * k))
+
     # stored attn_mask buffer (drives window/base-grid config inference; grid g, window win)
     area = win * win
     n_windows = (g // win) ** 2
     sd["pretrained.model.layers.0.blocks.1.attn_mask"] = np.zeros((n_windows, area, area), dtype=np.float32)
 
     for i, f in enumerate(feats, start=1):
-        sd[f"scratch.layer{i}_rn.weight"] = w(cf, f, 3, 3)
+        sd[f"scratch.layer{i}_rn.weight"] = cw(cf, f, 3)
     for k in range(1, 5):
         pre = f"scratch.refinenet{k}"
         for unit in (1, 2):
             for conv in (1, 2):
-                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = w(cf, cf, 3, 3)
+                sd[f"{pre}.resConfUnit{unit}.conv{conv}.weight"] = cw(cf, cf, 3)
                 sd[f"{pre}.resConfUnit{unit}.conv{conv}.bias"] = w(cf)
-        sd[f"{pre}.out_conv.weight"] = w(cf, cf, 1, 1)
+        sd[f"{pre}.out_conv.weight"] = cw(cf, cf, 1)
         sd[f"{pre}.out_conv.bias"] = w(cf)
     ch = cf // 2
-    sd["scratch.output_conv.0.weight"] = w(ch, cf, 3, 3)
+    sd["scratch.output_conv.0.weight"] = cw(ch, cf, 3)
     sd["scratch.output_conv.0.bias"] = w(ch)
-    sd["scratch.output_conv.2.weight"] = w(32, ch, 3, 3)
+    sd["scratch.output_conv.2.weight"] = cw(32, ch, 3)
     sd["scratch.output_conv.2.bias"] = w(32)
-    sd["scratch.output_conv.4.weight"] = w(1, 32, 1, 1)
-    sd["scratch.output_conv.4.bias"] = w(1)
+    sd["scratch.output_conv.4.weight"] = w(1, 32, 1, 1, scale=0.3 / math.sqrt(32))
+    # positive final bias keeps most synthetic depth outputs above the head's
+    # ReLU clip, like real inverse-depth heads — otherwise low-precision error
+    # measurements on these fixtures are dominated by ReLU boundary flips
+    # (diagnosed round 3: 86% zero-clipped outputs inflated SwinV2's bf16
+    # abs-rel ~5x; see docs/performance.md)
+    sd["scratch.output_conv.4.bias"] = np.float32(2.0) + w(1)
     return sd

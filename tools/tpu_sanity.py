@@ -77,22 +77,22 @@ def main():
 
     # bf16-vs-f32 parity gate on hardware: the shipped default dtype is bf16;
     # quantify its end-to-end abs-rel against the f32 parity path per family
-    # at a realistic input size. Budget 3e-2 for these RANDOM-weight models:
-    # 12 random blocks amplify rounding and the random head's output range is
-    # tiny (~0..0.2), inflating the relative metric — measured 1.5e-2 with
-    # bf16 erf-GELU too, so this is pure bf16 accumulation, not the tanh
-    # form (tanh-vs-erf contributes nothing beyond bf16 noise). The tiny
-    # 8-block models in the pytest suite sit at ~1.5e-3.
+    # at a realistic input size. Round-3 diagnosis: the old 1.5e-2..4.8e-2
+    # family "spread" here was a FIXTURE artifact, not family kernels — flat
+    # 0.05-scale random neck convs amplified activations ~2.4x per 3x3 conv,
+    # the head's final ReLU clipped 85-96% of outputs to zero, and abs-rel
+    # then measured ReLU boundary flips (f32 aux vs bf16 aux measured
+    # identically, ruling out the aux cache). With fan-in-scaled neck
+    # generators all four families sit at ~3-9e-3, matching the ~1e-2
+    # encoder-level bf16 error seen in block-by-block traces.
     from muggled_dpt_tpu.make_depthanythingv1_dpt import make_depthanythingv1_dpt
 
     img_big = rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8)
     family_builders = [
-        # (name, builder, budget) — SwinV2's scaled-cosine attention with
-        # RANDOM logit scales amplifies rounding harder than the ViT families.
-        ("DA-V2 F256L12", lambda dt: make_depthanythingv2_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=dt), 3e-2),
-        ("DA-V1 F256L12", lambda dt: make_depthanythingv1_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=dt), 3e-2),
-        ("BEiT F256L12", lambda dt: make_beit_dpt(256, 4, 12, (32, 64, 128, 256), (24, 24), 64, dtype=dt), 3e-2),
-        ("SwinV2 T-ish", lambda dt: make_swinv2_dpt((96, 192, 384, 768), (3, 6, 12, 24), (2, 2, 6, 2), (64, 64), (8, 8), (None,) * 4, 64, dtype=dt), 6e-2),
+        ("DA-V2 F256L12", lambda dt: make_depthanythingv2_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=dt), 2e-2),
+        ("DA-V1 F256L12", lambda dt: make_depthanythingv1_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=dt), 2e-2),
+        ("BEiT F256L12", lambda dt: make_beit_dpt(256, 4, 12, (32, 64, 128, 256), (24, 24), 64, dtype=dt), 2e-2),
+        ("SwinV2 T-ish", lambda dt: make_swinv2_dpt((96, 192, 384, 768), (3, 6, 12, 24), (2, 2, 6, 2), (64, 64), (8, 8), (None,) * 4, 64, dtype=dt), 2e-2),
     ]
     for name, build, budget in family_builders:
         d32 = np.asarray(build(jnp.float32).inference(img_big), np.float32)
