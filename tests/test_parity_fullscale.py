@@ -1,0 +1,44 @@
+"""Production-scale f32 parity gates (BASELINE.md north star: abs-rel < 1e-3
+vs the torch reference at real configs / default serving sizes).
+
+These cases take ~1-2 CPU-minutes per family, so they are opt-in here to keep
+the default suite inside its time budget: set RUN_FULLSCALE=1 (CI nightly) or
+run `python tools/parity_fullscale.py` directly. The tool and this wrapper
+share all case definitions (tools/parity_fullscale.py:CASES)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_available
+
+pytestmark = [
+    pytest.mark.skipif(
+        os.environ.get("RUN_FULLSCALE", "") != "1",
+        reason="production-scale parity is opt-in (RUN_FULLSCALE=1 or tools/parity_fullscale.py)",
+    ),
+    pytest.mark.skipif(not reference_available(), reason="/root/reference not mounted"),
+]
+
+
+@pytest.fixture(scope="module")
+def fullscale():
+    import tools.parity_fullscale as pf
+
+    return pf
+
+
+@pytest.fixture(scope="module")
+def image_bgr():
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    base = 120 + 60 * np.sin(yy / 37.0) + 50 * np.cos(xx / 53.0)
+    image = base[..., None] + rng.normal(0, 18, (480, 640, 3))
+    return np.clip(image, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("family", ["da-v2", "da-v1", "da-v2-metric", "beit", "swinv2"])
+def test_fullscale_parity(family, fullscale, image_bgr, tmp_path):
+    for name, err, ok in fullscale.run_family(family, str(tmp_path), image_bgr):
+        assert ok, f"{name}: abs-rel {err:.2e} over budget {fullscale.ABS_REL_BUDGET}"
