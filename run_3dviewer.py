@@ -94,11 +94,67 @@ class InputSource:
         return {"type": kind, "frame_count": self.frame_count, "fps": self.fps}
 
 
-def encode_frame(model, source, idx, max_side, is_metric, jpg_quality=80):
+class CropState:
+    """Persistent normalized crop applied to every frame (reference CropData,
+    run_3dviewer.py:296-319; video-path cropping :361-377). Slices are derived
+    from each frame's own shape, so the crop survives source swaps/uploads."""
+
+    def __init__(self, xy1xy2_norm):
+        self.xy1xy2_norm = xy1xy2_norm
+
+    def is_cropping(self) -> bool:
+        (x1, y1), (x2, y2) = self.xy1xy2_norm
+        return (x2 - x1) < 0.999 or (y2 - y1) < 0.999
+
+    def apply(self, frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape[:2]
+        (x1n, y1n), (x2n, y2n) = self.xy1xy2_norm
+        y0 = int(round(y1n * h))
+        x0 = int(round(x1n * w))
+        y1 = max(int(round(y2n * h)), y0 + 1)
+        x1 = max(int(round(x2n * w)), x0 + 1)
+        return frame[y0:y1, x0:x1]
+
+
+class MaskSource:
+    """Loaded-mask-or-edge-fallback alpha provider (reference MaskData,
+    run_3dviewer.py:395-500). A mask file is read once as grayscale and
+    resized per depth shape; without one, the alpha is the reference's
+    blurred-Sobel edge magnitude, normalized and inverted (low alpha = steep
+    depth edge -> the client hides those 'stretchy' triangles)."""
+
+    def __init__(self, mask_path: str | None):
+        self.image = None
+        if mask_path is not None:
+            img = cv2.imread(mask_path)
+            assert img is not None, f"Unable to read mask image: {mask_path}"
+            self.image = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+
+    @property
+    def has_loaded_mask(self) -> bool:
+        return self.image is not None
+
+    def get_mask_uint8(self, depth_01: np.ndarray) -> np.ndarray:
+        if self.image is not None:
+            return cv2.resize(self.image, (depth_01.shape[1], depth_01.shape[0]))
+        # edge fallback: gaussian blur then 3/10/3 Sobel-style derivative on
+        # the float prediction, combined magnitude inverted to uint8
+        # (reference compute_edges_uint8 + filter builders, :457-500)
+        blurred = cv2.GaussianBlur(depth_01.astype(np.float32), (5, 5), 0, borderType=cv2.BORDER_REFLECT)
+        kdy = np.array([[3, 10, 3], [0, 0, 0], [-3, -10, -3]], np.float32)
+        dy = cv2.filter2D(blurred, cv2.CV_32F, kdy, borderType=cv2.BORDER_REFLECT)
+        dx = cv2.filter2D(blurred, cv2.CV_32F, kdy.T, borderType=cv2.BORDER_REFLECT)
+        mag = np.sqrt(dx * dx + dy * dy)
+        return 255 - np.round(255.0 * mag / max(float(mag.max()), 1e-9)).astype(np.uint8)
+
+
+def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, jpg_quality=80):
     """Run inference and encode (rgb_jpg_bytes, depth_png_bytes)."""
     frame = source.read_frame(idx)
     if frame is None:
         return None, None
+    if crop is not None:
+        frame = crop.apply(frame)
     depth = np.asarray(model.inference(frame, max_side, True), np.float32).squeeze()
     if not is_metric:
         depth = normalize_01(remove_infinities(depth))
@@ -110,12 +166,8 @@ def encode_frame(model, source, idx, max_side, is_metric, jpg_quality=80):
     packed[..., 1] = (d24 >> 8) & 255
     packed[..., 0] = d24 & 255
 
-    # edge mask -> alpha: high Sobel magnitude = depth discontinuity
-    d8 = (depth * 255).astype(np.uint8) if not is_metric else cv2.normalize(depth, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
-    gx = cv2.Sobel(d8, cv2.CV_32F, 1, 0, ksize=3)
-    gy = cv2.Sobel(d8, cv2.CV_32F, 0, 1, ksize=3)
-    mag = np.sqrt(gx * gx + gy * gy)
-    alpha = np.where(mag > 100.0, 0, 255).astype(np.uint8)
+    depth_01 = depth if not is_metric else cv2.normalize(depth, None, 0.0, 1.0, cv2.NORM_MINMAX)
+    alpha = (mask or MaskSource(None)).get_mask_uint8(depth_01)
     packed_bgra = np.dstack([packed, alpha])
 
     ok1, rgb_bytes = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, jpg_quality])
@@ -125,7 +177,7 @@ def encode_frame(model, source, idx, max_side, is_metric, jpg_quality=80):
     return rgb_bytes.tobytes(), depth_bytes.tobytes()
 
 
-def make_handler(model, source, max_side, is_metric):
+def make_handler(model, source, max_side, is_metric, mask=None, crop=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -157,7 +209,7 @@ def make_handler(model, source, max_side, is_metric):
                     idx = int(path.split("/")[-1])
                 except ValueError:
                     return self._send(400, b"bad frame index")
-                rgb, depth = encode_frame(model, source, idx, max_side, is_metric)
+                rgb, depth = encode_frame(model, source, idx, max_side, is_metric, mask=mask, crop=crop)
                 if rgb is None:
                     return self._send(503, b"no frame")
                 return self._send(
@@ -189,6 +241,12 @@ def main():
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (see docs/performance.md)")
+    parser.add_argument(
+        "-k", "--mask_path", default=None,
+        help="Path to a binary mask image used as the depth alpha channel "
+             "(eliminates sections outside masked areas; reference run_3dviewer.py:50-55)",
+    )
+    parser.add_argument("--crop", action="store_true", help="Interactively crop the input before inference (persisted)")
     args = parser.parse_args()
 
     from muggled_dpt_tpu.demo_helpers.misc import select_device
@@ -218,16 +276,36 @@ def main():
     max_side = args.base_size_px or model.default_size_px
 
     source = InputSource(str(input_path))
+    mask = MaskSource(args.mask_path)
+    if mask.has_loaded_mask:
+        print(f"  using loaded mask: {args.mask_path}")
+
+    crop = None
+    if args.crop:
+        from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
+
+        init_frame = source.read_frame(0)
+        assert init_frame is not None, "No frame available to crop"
+        _, prev_crop = history.read("crop_xy1xy2_norm")
+        _, crop_norm = run_crop_ui(init_frame, prev_crop)
+        history.store(crop_xy1xy2_norm=crop_norm)
+        crop = CropState(crop_norm)
+        if not crop.is_cropping():
+            crop = None
 
     # Warm up: compile the inference program in the main thread before serving
     # so the first browser request isn't stuck behind a multi-second compile.
     probe = source.read_frame(0)
     if probe is not None:
+        if crop is not None:
+            probe = crop.apply(probe)
         print("Compiling inference program...", flush=True)
         np.asarray(model.inference(probe, max_side, True))
         print("Ready.", flush=True)
 
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(model, source, max_side, is_metric))
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(model, source, max_side, is_metric, mask=mask, crop=crop)
+    )
     print(f"\nServing 3D viewer at http://{args.host}:{args.port}\n(ctrl+c to quit)")
     try:
         server.serve_forever()

@@ -79,8 +79,12 @@ def test_frame_headers_and_depth_roundtrip(server):
     d24 = (r << 16) | (g << 8) | b
     assert d24.min() == 0
     assert d24.max() == 2**24 - 1
-    # alpha = Sobel edge mask: binary 0/255
-    assert set(np.unique(depth_img[..., 3])) <= {0, 255}
+    # alpha = inverted blurred-Sobel edge magnitude (reference MaskData
+    # compute_edges_uint8): full range, max where depth is flat
+    alpha = depth_img[..., 3]
+    assert alpha.max() == 255 and alpha.min() < 255  # some edge somewhere
+    # flat regions (low |grad|) should dominate for a smooth-ish depth map
+    assert (alpha > 127).mean() > 0.5
 
 
 def test_frame_bad_index(server):
@@ -125,6 +129,81 @@ def test_upload_swaps_source(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def model_and_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("viewer2")
+    sd = random_original_depth_anything_state_dict(TINY, seed=11)
+    ckpt = str(d / "depth_anything_v2_tiny.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    _, model = make_dpt_from_state_dict(ckpt)
+    return model, d
+
+
+def _serve(model, source, **handler_kw):
+    handler = run_3dviewer.make_handler(model, source, max_side=112, is_metric=False, **handler_kw)
+    httpd = ThreadingHTTPServer(("localhost", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://localhost:{httpd.server_address[1]}"
+
+
+def test_loaded_mask_roundtrips_through_frame_alpha(model_and_dir):
+    """--mask_path: the loaded mask (resized to the depth shape) must arrive
+    verbatim in /frame/N's alpha channel (reference run_3dviewer.py:50-55,
+    MaskData :395-455)."""
+    model, d = model_and_dir
+    img = np.random.default_rng(1).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    img_path = str(d / "input.png")
+    cv2.imwrite(img_path, img)
+
+    mask = np.zeros((96, 128), np.uint8)
+    cv2.circle(mask, (64, 48), 30, 255, -1)
+    mask_path = str(d / "mask.png")
+    cv2.imwrite(mask_path, mask)
+
+    source = run_3dviewer.InputSource(img_path)
+    httpd, base = _serve(model, source, mask=run_3dviewer.MaskSource(mask_path))
+    try:
+        status, headers, body = _get(base + "/frame/0")
+        assert status == 200
+        depth_img = cv2.imdecode(np.frombuffer(body[int(headers["X-rgb-size"]) :], np.uint8), cv2.IMREAD_UNCHANGED)
+        expected = cv2.resize(mask, (depth_img.shape[1], depth_img.shape[0]))
+        np.testing.assert_array_equal(depth_img[..., 3], expected)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_cropped_video_serves_cropped_frames(model_and_dir):
+    """--crop on a video input: frames are cropped before inference and the
+    served RGB/depth reflect the crop (reference run_3dviewer.py:197-215,
+    361-377)."""
+    model, d = model_and_dir
+    vid_path = str(d / "clip.avi")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    assert vw.isOpened()
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        vw.write(rng.integers(0, 256, (96, 128, 3), dtype=np.uint8))
+    vw.release()
+
+    crop = run_3dviewer.CropState(((0.25, 0.25), (0.75, 0.75)))
+    assert crop.is_cropping()
+    source = run_3dviewer.InputSource(vid_path)
+    httpd, base = _serve(model, source, crop=crop)
+    try:
+        info = json.loads(_get(base + "/get-source-info")[2])
+        assert info["type"] == "video" and info["frame_count"] == 4
+        status, headers, body = _get(base + "/frame/2")
+        assert status == 200
+        rgb = cv2.imdecode(np.frombuffer(body[: int(headers["X-rgb-size"])], np.uint8), cv2.IMREAD_COLOR)
+        assert rgb.shape == (48, 64, 3)  # cropped half-size frame
+        depth_img = cv2.imdecode(np.frombuffer(body[int(headers["X-rgb-size"]) :], np.uint8), cv2.IMREAD_UNCHANGED)
+        assert depth_img is not None and depth_img.shape[2] == 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 # ---------------------------------------------------------------------------
