@@ -16,6 +16,7 @@ Baseline: the reference's published DA ViT-L fp16 time at 504x504 on an
 
 Prints ONE JSON line to stdout."""
 
+import argparse
 import json
 import time
 
@@ -38,9 +39,41 @@ def chip_fps(run_one, probe, iters: int = 200) -> float:
     return iters / (time.perf_counter() - t0)
 
 
+def bench_data_parallel(model, image_bgr, scaled_hw, data_parallel: int, per_chip_batch: int = 1, iters: int = 50):
+    """Multi-chip frame throughput through parallel.BatchParallelRunner
+    (model-only: batch sharded over the mesh's data axis, aux cache flowing;
+    validated on the virtual CPU mesh when real chips aren't available —
+    set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N)."""
+    from muggled_dpt_tpu.parallel.inference import BatchParallelRunner
+    from muggled_dpt_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    assert data_parallel <= n_dev, (
+        f"--data-parallel {data_parallel} needs {data_parallel} devices, have {n_dev} "
+        "(for validation without a slice: JAX_PLATFORMS=cpu "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count={data_parallel})"
+    )
+    runner = BatchParallelRunner(model, mesh=make_mesh(data_parallel, data_parallel))
+    batch = data_parallel * per_chip_batch
+    x = np.asarray(model.prepare_image_bgr(image_bgr, max(scaled_hw))).transpose(0, 2, 3, 1)
+    xb = jnp.asarray(np.repeat(x, batch, axis=0))
+    run_one = lambda: runner(xb)
+    np.asarray(run_one())
+    frames = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=iters) * batch
+    return frames, batch
+
+
 def main():
     from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
     from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--data-parallel", type=int, default=None, metavar="N",
+        help="Bench batched inference sharded over an N-chip data mesh instead of the single-chip default",
+    )
+    ap.add_argument("--iters", type=int, default=None, help="Measurement window (frames); default 200 / 50 for dp")
+    args = ap.parse_args()
 
     # the unroll-mode ViT-L compile takes minutes cold; persist it across runs
     enable_compilation_cache()
@@ -53,13 +86,31 @@ def main():
         base_patch_grid_hw=(37, 37),
         fusion_channels=256,
         patch_size_px=14,
-        unroll_blocks=True,  # fixed-shape serving mode: ~12% faster encoder
+        # fixed-shape serving mode (~12% faster encoder) single-chip; the
+        # data-parallel bench keeps the scan encoder (block-shared compile)
+        unroll_blocks=args.data_parallel is None,
         dtype=jnp.bfloat16,
     )
 
     rng = np.random.default_rng(0)
     image_bgr = rng.integers(0, 256, size=(720, 1280, 3), dtype=np.uint8)
     scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], 518, True)
+
+    if args.data_parallel:
+        fps, batch = bench_data_parallel(model, image_bgr, scaled_hw, args.data_parallel, iters=args.iters or 50)
+        baseline_fps = 1000.0 / 34.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"DA-V2 ViT-L depth fps over a {args.data_parallel}-device data mesh "
+                              f"(batch {batch}, model-only, prepared frames)",
+                    "value": round(fps, 2),
+                    "unit": "fps",
+                    "vs_baseline": round(fps / baseline_fps, 3),
+                }
+            )
+        )
+        return
 
     # stage the frame in device memory once; full e2e = on-device prep + model
     frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
@@ -68,7 +119,7 @@ def main():
     # warmup / compile with a full readback (validates the whole path)
     np.asarray(run_one())
 
-    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=200)
+    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters or 200)
     baseline_fps = 1000.0 / 34.0  # reference DA ViT-L fp16 @ 504^2
 
     print(

@@ -17,6 +17,14 @@ class BatchParallelRunner:
     model over the model axis) and runs the family forward as one pjit'd
     program per batch shape.
 
+    The facade's grid-keyed aux cache flows through: BEiT's relpos bias stack
+    and SwinV2's CPB stacks are computed once per grid on the host model and
+    fed to the sharded program — without this, every sharded forward would
+    regenerate the bias tables in-graph (the enable_cache=False cost). Aux
+    head axes are sharded over the `model` axis, aligned with the Megatron
+    head-major qkv column split, so the cache's HBM cost divides across the
+    tensor-parallel group.
+
     Frames must share one size (use DPTModel.compute_scaled_hw + the model's
     prepare path, or feed raw frames of equal size)."""
 
@@ -24,22 +32,45 @@ class BatchParallelRunner:
         self.model = model
         self.mesh = mesh or make_mesh()
         params = jax.tree_util.tree_map(jnp.asarray, model.params)
-        if shard_model and self.mesh.shape.get("model", 1) > 1:
+        self._tp = shard_model and self.mesh.shape.get("model", 1) > 1
+        if self._tp:
             self.params = shard_params(params, self.mesh)
         else:
             self.params = jax.device_put(
                 params, NamedSharding(self.mesh, P())
             )
         fwd = model.spec["forward"]
+        self._aux_placed: dict = {}
         self._fwd = jax.jit(
-            lambda p, x: fwd(p, x),
-            in_shardings=(None, NamedSharding(self.mesh, P("data"))),
+            lambda p, x, aux: fwd(p, x, aux),
+            in_shardings=(None, NamedSharding(self.mesh, P("data")), None),
             out_shardings=NamedSharding(self.mesh, P("data")),
         )
 
     @property
     def data_parallelism(self) -> int:
         return self.mesh.shape["data"]
+
+    def _get_aux(self, grid_hw):
+        """Fetch the host model's per-grid aux and place it on the mesh:
+        head axes (axis 1 of the (L|P, H, N, N) bias stacks) shard over
+        `model` when tensor-parallel, everything replicated over `data`."""
+        grid_hw = tuple(int(g) for g in grid_hw)
+        if grid_hw in self._aux_placed:
+            return self._aux_placed[grid_hw]
+        aux = self.model._get_aux(grid_hw)
+        if aux is not None:
+            tp = self.mesh.shape.get("model", 1)
+
+            def place(a):
+                spec = P()
+                if self._tp and a.ndim == 4 and a.shape[1] % tp == 0:
+                    spec = P(None, "model", None, None)
+                return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+            aux = jax.tree_util.tree_map(place, aux)
+        self._aux_placed[grid_hw] = aux
+        return aux
 
     def __call__(self, images_nhwc) -> jax.Array:
         """images_nhwc: (B, H, W, 3), B divisible by the data axis.
@@ -48,8 +79,14 @@ class BatchParallelRunner:
         b = x.shape[0]
         dp = self.data_parallelism
         assert b % dp == 0, f"batch {b} must be divisible by data parallelism {dp}"
+        p = self.model.patch_size_px
+        aux = self._get_aux((x.shape[1] // p, x.shape[2] // p))
         with self.mesh:
-            return self._fwd(self.params, x)
+            return self._fwd(self.params, x, aux)
+
+    def clear_cache(self):
+        self._aux_placed.clear()
+        self.model.clear_cache()
 
     def params_dtype(self):
         return jax.tree_util.tree_leaves(self.params)[0].dtype
