@@ -208,7 +208,7 @@ class DPTModel:
         """Return a copy of this model with a different compute dtype."""
         return DPTModel(self.params, self.config, self.spec, dtype=dtype)
 
-    def quantize_encoder_int8(self, include_qkv: bool = False):
+    def quantize_encoder_int8(self, include_qkv: bool = False, calibration_images=None, max_side_length=None):
         """Opt-in int8 (w8a8) serving tier: returns a copy whose encoder
         transformer matmul weights are symmetric per-channel int8 (activations
         quantized dynamically per token at run time — ops/quant.py). The v5e
@@ -221,14 +221,40 @@ class DPTModel:
         the f32 parity path and bf16 default are unaffected. Wired for the
         DINOv2 (Depth-Anything V1/V2, incl. SwiGLU giant) and BEiT encoders
         (full subset) and SwinV2 (MLP matmuls only — its windowed attention
-        qkv/proj take the plain-linear path by design)."""
-        from .ops.quant import QUANTIZABLE, quantize_block_params
+        qkv/proj take the plain-linear path by design).
+
+        calibration_images: optional list of BGR uint8 images enabling the
+        SmoothQuant calibration tier (ops/quant.py:compute_smoothing):
+        per-channel activation maxima are collected from eager capture
+        forwards over these frames and outlier magnitude is migrated from
+        activations into the int8 weights, which is what makes
+        include_qkv=True usable (dynamic per-token scales alone lose
+        resolution to outlier channels, and softmax amplifies the resulting
+        qkv noise). Only wired for the stacked-blocks encoders (DINOv2/BEiT);
+        SwinV2's MLP-only subset doesn't need it."""
+        from .ops.quant import (
+            QUANTIZABLE,
+            collect_activation_stats,
+            compute_smoothing,
+            quantize_block_params,
+            reset_collection_pass,
+        )
 
         enc = self.params.get("encoder")
         params = dict(self.params)
         subset = QUANTIZABLE if include_qkv else tuple(n for n in QUANTIZABLE if n != "qkv")
+        smoothing = None
+        if calibration_images is not None:
+            if not (isinstance(enc, dict) and "blocks" in enc):
+                raise NotImplementedError("int8 calibration: only the stacked-blocks encoders (DINOv2/BEiT)")
+            with collect_activation_stats() as stats:
+                for img in calibration_images:
+                    reset_collection_pass()
+                    x = self.prepare_image_bgr(img, max_side_length)
+                    self.forward_with_internals(x)
+            smoothing = compute_smoothing(enc["blocks"], stats, subset)
         if isinstance(enc, dict) and "blocks" in enc:
-            params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset)}
+            params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset, smoothing=smoothing)}
         elif isinstance(enc, dict) and "stages" in enc:
             mlp_subset = tuple(n for n in subset if n in ("fc1", "fc2"))
             stages = [

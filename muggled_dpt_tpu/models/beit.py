@@ -70,12 +70,18 @@ def calculate_bias_bytes(num_layers: int, num_heads: int, grid_hw, bytes_per_ele
     return int(num_layers * num_heads * n * n * bytes_per_element)
 
 
-def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw):
+def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw, pad_to: int | None = None):
     """Per-layer relative-position bias (L, H, N, N) for a patch grid.
 
     relpos_lut: (L, R, H) stacked learned tables, R = (2bh-1)(2bw-1)+3.
     Rescaling uses torch-default bilinear (align_corners=False, no antialias) —
-    relative_positional_encoder.py:289-295."""
+    relative_positional_encoder.py:289-295.
+
+    pad_to: when set, zero-pads the last two dims to this size. The cached
+    stack is built pre-padded to the flash kernel's 128-lane tile size so the
+    per-block jnp.pad copy (~95 us x 24 layers of HBM traffic per forward at
+    L-512) disappears from the serving path; the kernel's key-column iota
+    mask makes the padded columns -inf regardless of their values."""
     num_layers, _, heads = relpos_lut.shape
     bh, bw = base_grid_hw
     gh, gw = grid_hw
@@ -93,7 +99,10 @@ def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw):
     n = idx.shape[0]
     # one gather for all layers: (L, R', H) -> (L, N*N, H) -> (L, H, N, N)
     bias = jnp.take(full_lut, idx.reshape(-1), axis=1)
-    return bias.reshape(num_layers, n, n, heads).transpose(0, 3, 1, 2)
+    bias = bias.reshape(num_layers, n, n, heads).transpose(0, 3, 1, 2)
+    if pad_to is not None and pad_to > n:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_to - n), (0, pad_to - n)))
+    return bias
 
 
 def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
@@ -121,7 +130,10 @@ def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
     }
     attn_params["qkv_bias"] = qkv_bias
     h = layer_norm(tokens, bp["norm1_scale"], bp["norm1_bias"])
-    bias = bias_hnn[None]  # (1, H, N, N), broadcast over batch
+    if isinstance(bias_hnn, tuple):
+        bias = bias_hnn  # (stack, layer) — kernel-indexed cached-bias path
+    else:
+        bias = bias_hnn[None]  # (1, H, N, N), broadcast over batch
     if capture:
         h, attn_weights = self_attention(h, attn_params, cfg.num_heads, bias=bias, capture=True)
     else:
@@ -170,12 +182,16 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: BEiTConfig, bias_s
 
             bias_source = params["blocks"]["relpos_lut"]
         else:
+            # cached mode: the scan carries only a LAYER INDEX; the kernel
+            # reads its bias blocks straight from the full stack via a
+            # scalar-prefetch index_map — no per-layer dynamic-slice copy
+            # (~42 MB x L of extra HBM round-trip at L-512 otherwise)
 
             def body(tok, xs):
-                bp, bias = xs
-                return block_forward(tok, bp, bias, cfg), None
+                bp, li = xs
+                return block_forward(tok, bp, (bias_stack, li), cfg), None
 
-            bias_source = bias_stack
+            bias_source = jnp.arange(cfg.num_blocks, dtype=jnp.int32)
 
         for t in taps:
             seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)

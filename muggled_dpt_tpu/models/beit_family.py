@@ -49,13 +49,21 @@ def make_family_spec(config_dict: dict) -> dict:
 
     def make_aux(params, grid_hw):
         """Per-grid relpos bias stack — the enable_cache path (the reference's
-        GridCache, cached by the DPTModel facade keyed on grid)."""
-        return compute_bias_stack(params["encoder"]["blocks"]["relpos_lut"], enc_cfg.base_grid_hw, grid_hw)
+        GridCache, cached by the DPTModel facade keyed on grid). Pre-padded to
+        the flash kernel's 128-lane tiles so the serving path never re-pads."""
+        n = grid_hw[0] * grid_hw[1] + 1
+        pad_to = ((n + 127) // 128) * 128
+        return compute_bias_stack(
+            params["encoder"]["blocks"]["relpos_lut"], enc_cfg.base_grid_hw, grid_hw, pad_to=pad_to
+        )
 
     def aux_bytes_estimate(config, grid_hw):
         from .beit import calculate_bias_bytes
 
-        return calculate_bias_bytes(config["num_blocks"], config["num_heads"], grid_hw)
+        n = grid_hw[0] * grid_hw[1] + 1
+        pad_to = ((n + 127) // 128) * 128
+        padded_grid = (1, pad_to - 1)  # n' = pad_to for the bytes math
+        return calculate_bias_bytes(config["num_blocks"], config["num_heads"], padded_grid)
 
     base_grid = config_dict["base_patch_grid_hw"]
     return {

@@ -91,8 +91,11 @@ def sdpa(q, k, v, bias=None, scale=None, impl="xla"):
           'pallas' -> custom flash kernel (ops/pallas), falls back to xla off-TPU
           'naive'  -> explicit softmax (used by introspection mode, mirrors the
                       reference's hookable nn.Softmax path, transformer_block.py:100)
+    bias may arrive pre-padded to the flash kernel's 128-lane tiles (BEiT's
+    cached stack); the non-kernel paths slice it back to (.., N, N).
     Returns (B, N, H, D); with impl='naive' also returns the (B, H, N, N) weights.
     """
+    n = q.shape[1]
     if impl == "pallas":
         from .pallas.flash_attention import flash_attention_available, flash_attention
 
@@ -103,6 +106,8 @@ def sdpa(q, k, v, bias=None, scale=None, impl="xla"):
         if flash_attention_available() and q.shape[1] >= 512:
             return flash_attention(q, k, v, bias=bias, scale=scale)
         impl = "xla"
+    if bias is not None and bias.shape[-1] > n:
+        bias = bias[..., :n, :n]
     if impl == "xla":
         return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
 
@@ -125,12 +130,23 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
     qkv_bias (3C,), proj_kernel (C, C), proj_bias (C,). The head-major order
     lets the pallas kernel consume the qkv matmul output directly — one dense
     per-head slab, no transposes.
+
+    bias may also be a ``(stack, layer)`` tuple — a full (L, H, Np, Np)
+    per-layer bias stack plus an i32 layer index (BEiT's scanned cached
+    relpos stack). The flash kernel then reads its bias blocks directly from
+    the stack via a scalar-prefetch index (no per-layer slice copy); fallback
+    paths materialize the layer's slice.
     """
     from .quant import linear_p
 
     b, n, c = tokens.shape
     d = c // num_heads
     qkv = linear_p(tokens, p, "qkv")  # (B, N, [h][3][d])
+
+    bias_stack = layer = None
+    if isinstance(bias, tuple):
+        bias_stack, layer = bias
+        bias = None
 
     if impl == "pallas" and not capture:
         from .pallas.flash_attention import (
@@ -140,8 +156,11 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
         )
 
         if flash_attention_available() and n >= 512 and fused_qkv_supported(n, num_heads, d):
-            out = flash_attention_fused_qkv(qkv, num_heads, bias=bias)
+            out = flash_attention_fused_qkv(qkv, num_heads, bias=bias, bias_stack=bias_stack, layer=layer)
             return linear_p(out, p, "proj")
+
+    if bias_stack is not None:  # non-kernel fallback: materialize the layer slice
+        bias = lax.dynamic_index_in_dim(bias_stack, layer, axis=0, keepdims=False)[None]
 
     qkv = qkv.reshape(b, n, num_heads, 3, d)
     q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]  # (B, N, H, D)

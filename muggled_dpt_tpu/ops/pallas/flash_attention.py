@@ -132,7 +132,7 @@ def fused_qkv_supported(n: int, num_heads: int, d: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
-def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=False):
+def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=False, bias_stack=None, layer=None):
     """Flash attention straight off the fused qkv projection output.
 
     qkv: (B, N, 3C) with columns in head-major [head][q|k|v][dim] order
@@ -140,7 +140,15 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     grid program DMAs one dense (N_pad, hpp*3D) slab — q, k and v arrive in a
     single contiguous read, eliminating the 3 input transposes + 1 output
     transpose the (B, N, H, D) wrapper needs (~50 us/block at ViT-L @ 504^2
-    on v5e). bias: optional, broadcastable to (B, H, N, N). Returns (B, N, C)."""
+    on v5e). bias: optional, broadcastable to (B, H, N, N). Returns (B, N, C).
+
+    bias_stack + layer: alternative bias source for scanned per-layer biases
+    (BEiT's cached relpos stack). bias_stack is the FULL pre-padded
+    (L, H, n_pad, n_pad) array and layer an i32 scalar; the kernel uses a
+    scalar-prefetch index_map to DMA its (hpp, n_pad, n_pad) bias blocks
+    straight from the stack at the layer offset — no per-layer dynamic-slice
+    copy on the scan path (which costs ~42 MB of extra HBM round-trip per
+    layer at L-512)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -153,29 +161,60 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
 
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
     grid = (b, num_heads // hpp)
-    in_specs = [pl.BlockSpec((1, n_pad, 3 * d * hpp), lambda bi, gi: (bi, 0, gi))]
-    args = [qkvp]
-    kernel = functools.partial(_onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp)
-    if bias is not None:
-        bp = jnp.broadcast_to(bias, (b, num_heads, n, n))
-        bp = jnp.pad(bp, ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
-        in_specs.append(pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi: (bi, gi, 0, 0)))
-        args.append(bp)
-
-        def kernel(qkv_ref, b_ref, o_ref):
-            _onepass_qkv_kernel(qkv_ref, o_ref, kv_len=n, scale=scale, d=d, hpp=hpp, bias_ref=b_ref)
-
+    qkv_spec = pl.BlockSpec((1, n_pad, 3 * d * hpp), lambda bi, gi, *_: (bi, 0, gi))
+    out_spec = pl.BlockSpec((1, n_pad, d * hpp), lambda bi, gi, *_: (bi, 0, gi))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         # the hpp unrolled (N_pad, N_pad) f32 logit tiles exceed the default
         # 16 MB scoped-vmem budget; the one-pass cutoff keeps the true need
         # well under the 128 MB physical VMEM
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if bias_stack is not None:
+        assert bias is None and layer is not None
+        assert bias_stack.ndim == 4 and bias_stack.shape[1] == num_heads
+        assert bias_stack.shape[-2:] == (n_pad, n_pad), (
+            "bias_stack must be pre-padded to the 128-lane tile size "
+            f"{(n_pad, n_pad)}, got {bias_stack.shape[-2:]}"
+        )
+
+        def kernel_idx(idx_ref, qkv_ref, b_ref, o_ref):
+            _onepass_qkv_kernel(qkv_ref, o_ref, kv_len=n, scale=scale, d=d, hpp=hpp, bias_ref=b_ref)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                qkv_spec,
+                pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi, idx_ref: (idx_ref[0], gi, 0, 0)),
+            ],
+            out_specs=out_spec,
+        )
+        out = pl.pallas_call(
+            kernel_idx,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
+            interpret=interpret,
+            **kwargs,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), qkvp, bias_stack)
+        return out[:, :n, :]
+
+    in_specs = [qkv_spec]
+    args = [qkvp]
+    kernel = functools.partial(_onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp)
+    if bias is not None:
+        bp = jnp.broadcast_to(_fit_bias(bias, n_pad, n_pad), (b, num_heads, n_pad, n_pad))
+        in_specs.append(pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi: (bi, gi, 0, 0)))
+        args.append(bp)
+
+        def kernel(qkv_ref, b_ref, o_ref):
+            _onepass_qkv_kernel(qkv_ref, o_ref, kv_len=n, scale=scale, d=d, hpp=hpp, bias_ref=b_ref)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_pad, d * hpp), lambda bi, gi: (bi, 0, gi)),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), qkv.dtype),
         interpret=interpret,
         **kwargs,
@@ -231,6 +270,19 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _fit_bias(bias, rows, cols):
+    """Shape a bias's trailing two dims to exactly (rows, cols) — a no-op when
+    it already matches (the pre-padded cached-stack fast path), a slice when
+    it is larger, a zero-pad when smaller. Padded key columns are masked to
+    -inf by the kernels, so pad values are irrelevant."""
+    br, bc = bias.shape[-2], bias.shape[-1]
+    if (br, bc) == (rows, cols):
+        return bias
+    bias = bias[..., : min(br, rows), : min(bc, cols)]
+    pad = [(0, 0)] * (bias.ndim - 2) + [(0, rows - bias.shape[-2]), (0, cols - bias.shape[-1])]
+    return jnp.pad(bias, pad) if any(p != (0, 0) for p in pad) else bias
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interpret=False):
     """q/k/v: (BH, N, D), q already multiplied by the softmax scale.
@@ -256,7 +308,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         args = [qp, kp, vp]
         kernel = functools.partial(_onepass_kernel, kv_len=n)
         if bias is not None:
-            bp = jnp.pad(bias, ((0, 0), (0, n_pad_q - n), (0, n_pad128 - n)))
+            bp = _fit_bias(bias, n_pad_q, n_pad128)
             in_specs.append(pl.BlockSpec((1, block_q, n_pad128), lambda b, i: (b, i, 0)))
             args.append(bp)
 
@@ -302,7 +354,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
     args = [qp, kp, vp]
     kernel = functools.partial(_online_kernel, kv_len=n, block_k=block_k)
     if bias is not None:
-        bp = jnp.pad(bias, ((0, 0), (0, n_pad_q - n), (0, n_pad_k - n)))
+        bp = _fit_bias(bias, n_pad_q, n_pad_k)
         in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
         args.append(bp)
 
@@ -347,6 +399,7 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     qb, kb, vb = to_bhnd(qs), to_bhnd(k), to_bhnd(v)
     bias_b = None
     if bias is not None:
-        bias_b = jnp.broadcast_to(bias, (b, h, n, n)).reshape(b * h, n, n)
+        bn = bias.shape[-2], bias.shape[-1]  # may be pre-padded past n
+        bias_b = jnp.broadcast_to(bias, (b, h, *bn)).reshape(b * h, *bn)
     out = _flash_bhnd_prescaled(qb, kb, vb, bias_b, interpret=interpret)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -21,12 +21,56 @@ this is TPU-native headroom, quantifed in docs/performance.md.
 
 from __future__ import annotations
 
+import contextlib
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 # Encoder kernels worth quantizing: every (in, out) matmul in a transformer
 # block. LayerScale/LN params are vectors; proj inside attention included.
 QUANTIZABLE = ("qkv", "proj", "fc1", "fc2", "w12", "w3")
+
+# Active activation-stats collector (calibration runs only; None in serving).
+_COLLECTOR: dict | None = None
+
+
+@contextlib.contextmanager
+def collect_activation_stats():
+    """Record per-channel |activation| maxima at every quantizable matmul
+    input during EAGER forwards (the capture/introspection path runs blocks in
+    Python loops, so `linear_p` sees concrete arrays). Yields a dict
+    {name: [amax_per_channel_layer0, amax_layer1, ...]} accumulated across
+    all forwards run inside the context — the calibration side of the
+    SmoothQuant-style int8 tier (`calibrate_smoothing`)."""
+    global _COLLECTOR
+    stats: dict[str, list] = {}
+    _COLLECTOR = {"stats": stats, "cursor": {}}
+    try:
+        yield stats
+    finally:
+        _COLLECTOR = None
+
+
+def _record_activation(name: str, x) -> None:
+    if _COLLECTOR is None or isinstance(x, jax.core.Tracer):
+        return
+    amax = np.asarray(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1))))
+    per_name = _COLLECTOR["stats"].setdefault(name, [])
+    cursor = _COLLECTOR["cursor"]
+    i = cursor.get(name, 0)
+    if i < len(per_name):
+        per_name[i] = np.maximum(per_name[i], amax)  # max over calibration frames
+    else:
+        per_name.append(amax)
+    cursor[name] = i + 1
+
+
+def reset_collection_pass() -> None:
+    """Mark the start of a new calibration frame (layer cursor rewinds so
+    occurrence i keeps meaning 'layer i')."""
+    if _COLLECTOR is not None:
+        _COLLECTOR["cursor"] = {}
 
 
 def quantize_weight(kernel) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -39,11 +83,20 @@ def quantize_weight(kernel) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def linear_w8a8(x, kernel_q8, kernel_scale, bias=None):
+def linear_w8a8(x, kernel_q8, kernel_scale, bias=None, act_smooth=None):
     """x (..., in) bf16/f32 -> (..., out) in x.dtype. Dynamic per-token
-    activation quantization + s8 x s8 -> s32 MXU matmul + rank-1 dequant."""
+    activation quantization + s8 x s8 -> s32 MXU matmul + rank-1 dequant.
+
+    act_smooth: optional per-input-channel inverse smoothing vector (in,)
+    from `calibrate_smoothing` — x is divided channel-wise before the
+    per-token quantization (the matching multiply is folded into the stored
+    int8 weights), flattening outlier channels so the shared per-token scale
+    stops crushing the resolution of the other channels (SmoothQuant,
+    arXiv:2211.10438)."""
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
+    if act_smooth is not None:
+        xf = xf * act_smooth.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x_scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
@@ -59,24 +112,61 @@ def linear_w8a8(x, kernel_q8, kernel_scale, bias=None):
 def linear_p(x, p, name: str):
     """Dispatching linear: uses the int8 path when `p` carries quantized
     weights for `name`, the dense kernel otherwise. The single integration
-    point for the encoder blocks (ops/nn.py consumers)."""
+    point for the encoder blocks (ops/nn.py consumers). Also the calibration
+    tap: under `collect_activation_stats` (eager capture forwards) the
+    per-channel input magnitudes are recorded here."""
+    _record_activation(name, x)
     q8 = p.get(name + "_kernel_q8")
     if q8 is not None:
-        return linear_w8a8(x, q8, p[name + "_kernel_scale"], p.get(name + "_bias"))
+        return linear_w8a8(
+            x, q8, p[name + "_kernel_scale"], p.get(name + "_bias"), act_smooth=p.get(name + "_act_smooth")
+        )
     from .nn import linear
 
     return linear(x, p[name + "_kernel"], p.get(name + "_bias"))
 
 
-def quantize_block_params(stacked_blocks: dict, subset=QUANTIZABLE) -> dict:
+def quantize_block_params(stacked_blocks: dict, subset=QUANTIZABLE, smoothing: dict | None = None) -> dict:
     """Rewrite a stacked-layer block-params dict: each `subset` name's
     `<name>_kernel` (L, in, out) becomes `<name>_kernel_q8` (L, in, out) int8
-    + `<name>_kernel_scale` (L, 1, out) f32. Other leaves pass through."""
+    + `<name>_kernel_scale` (L, 1, out) f32. Other leaves pass through.
+
+    smoothing: optional {name: s (L, in)} SmoothQuant factors from
+    `compute_smoothing`: the kernel rows are scaled by s before weight
+    quantization and the inverse is stored as `<name>_act_smooth` for the
+    runtime channel-wise activation divide (mathematically x@w == (x/s)@(w*s))."""
     out = dict(stacked_blocks)
     for name in subset:
         key = name + "_kernel"
         if key in out:
-            q, s = quantize_weight(out.pop(key))
+            kernel = out.pop(key)
+            if smoothing is not None and name in smoothing:
+                s = jnp.asarray(smoothing[name], jnp.float32)  # (L, in)
+                kernel = jnp.asarray(kernel, jnp.float32) * s[:, :, None]
+                out[name + "_act_smooth"] = 1.0 / s
+            q, sc = quantize_weight(kernel)
             out[name + "_kernel_q8"] = q
-            out[name + "_kernel_scale"] = s
+            out[name + "_kernel_scale"] = sc
     return out
+
+
+def compute_smoothing(stacked_blocks: dict, act_stats: dict, subset=QUANTIZABLE, alpha: float = 0.5) -> dict:
+    """SmoothQuant migration factors s_c = act_amax^alpha / weight_amax^(1-alpha)
+    per layer and input channel (arXiv:2211.10438 eq. 4), from per-channel
+    activation maxima collected by `collect_activation_stats` over a few
+    calibration frames. Returns {name: (L, in) float array}."""
+    smoothing = {}
+    for name in subset:
+        key = name + "_kernel"
+        if key not in stacked_blocks or name not in act_stats:
+            continue
+        w = np.asarray(stacked_blocks[key], np.float32)  # (L, in, out)
+        w_amax = np.maximum(np.abs(w).max(axis=-1), 1e-8)  # (L, in)
+        a_amax = np.maximum(np.stack(act_stats[name], axis=0), 1e-8)  # (L, in)
+        assert a_amax.shape == w_amax.shape, (name, a_amax.shape, w_amax.shape)
+        s = (a_amax ** alpha) / (w_amax ** (1.0 - alpha))
+        # normalize so the median channel is untouched, then bound the
+        # migration so neither side's range explodes
+        s = s / np.median(s, axis=-1, keepdims=True)
+        smoothing[name] = np.clip(s, 1e-2, 1e2).astype(np.float32)
+    return smoothing

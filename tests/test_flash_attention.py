@@ -92,3 +92,69 @@ def test_flash_custom_scale():
     ref = np.asarray(_naive(q, k, v, scale=0.5))
     got = np.asarray(flash_attention(q, k, v, scale=0.5, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_prepadded_bias_matches_naive(fused):
+    """BEiT's cached bias stack arrives pre-padded to 128-lane tiles
+    (models/beit_family.py make_aux); the kernels must consume it without
+    re-padding and ignore the pad region (key-column mask)."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+
+    rng = np.random.default_rng(9)
+    b, n, h, d = 1, 200, 4, 32
+    n_pad = 256
+    qkv = jnp.asarray(rng.standard_normal((b, n, h, 3, d)), jnp.float32)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    bias = jnp.asarray(rng.standard_normal((b, h, n, n)), jnp.float32)
+    # pad region deliberately filled with huge values: must not leak through
+    bias_padded = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)), constant_values=1e6)
+
+    ref = np.asarray(_naive(q, k, v, bias))
+    if fused:
+        got = np.asarray(
+            flash_attention_fused_qkv(qkv.reshape(b, n, 3 * h * d), h, bias=bias_padded, interpret=True)
+        ).reshape(b, n, h, d)
+    else:
+        got = np.asarray(flash_attention(q, k, v, bias=bias_padded, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sdpa_slices_prepadded_bias_on_fallback_paths():
+    """The xla / naive sdpa paths slice a pre-padded bias back to (N, N)."""
+    from muggled_dpt_tpu.ops.nn import sdpa
+
+    rng = np.random.default_rng(10)
+    b, n, h, d = 1, 50, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, n, n)), jnp.float32)
+    bias_padded = jnp.pad(bias, ((0, 0), (0, 0), (0, 78), (0, 78)), constant_values=1e6)
+    ref = np.asarray(sdpa(q, k, v, bias=bias))
+    np.testing.assert_allclose(np.asarray(sdpa(q, k, v, bias=bias_padded)), ref, rtol=1e-6)
+    out_naive, _ = sdpa(q, k, v, bias=bias_padded, impl="naive")
+    np.testing.assert_allclose(np.asarray(out_naive), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_layer_indexed_bias_stack():
+    """BEiT's scanned cached-bias path: the kernel reads its bias blocks from
+    the full (L, H, Np, Np) stack via a scalar-prefetch layer index."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+
+    rng = np.random.default_rng(12)
+    b, n, h, d, L = 1, 200, 4, 32, 3
+    n_pad = 256
+    qkv = jnp.asarray(rng.standard_normal((b, n, h, 3, d)), jnp.float32)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    stack = jnp.asarray(rng.standard_normal((L, h, n_pad, n_pad)), jnp.float32)
+
+    for layer in range(L):
+        ref = np.asarray(_naive(q, k, v, stack[layer][None, :, :n, :n]))
+        got = np.asarray(
+            flash_attention_fused_qkv(
+                qkv.reshape(b, n, 3 * h * d), h,
+                bias_stack=stack, layer=jnp.int32(layer), interpret=True,
+            )
+        ).reshape(b, n, h, d)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5, err_msg=f"layer {layer}")

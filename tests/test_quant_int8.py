@@ -97,3 +97,48 @@ def test_int8_model_exports_to_stablehlo():
     np.testing.assert_allclose(
         np.asarray(reloaded.call(q.params, xr)), np.asarray(fwd(q.params, xr)), rtol=1e-6, atol=1e-6
     )
+
+
+def test_int8_calibrated_qkv():
+    """SmoothQuant calibration tier: collecting per-channel activation maxima
+    over calibration frames and migrating outliers into the weights must keep
+    the include_qkv=True path close to dense, and at least as good as the
+    uncalibrated qkv path."""
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    m = make_depthanythingv2_dpt(64, 2, 8, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (120, 160, 3), np.uint8) for _ in range(2)]
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+
+    q_plain = m.quantize_encoder_int8(include_qkv=True)
+    q_cal = m.quantize_encoder_int8(include_qkv=True, calibration_images=frames)
+    b = q_cal.params["encoder"]["blocks"]
+    assert "qkv_act_smooth" in b and "fc1_act_smooth" in b
+    assert b["qkv_act_smooth"].shape == (8, 64)
+
+    def absrel(model):
+        d = np.asarray(model.inference(img), np.float32)
+        return np.mean(np.abs(d - d0)) / max(np.abs(d0).mean(), 1e-9)
+
+    e_plain, e_cal = absrel(q_plain), absrel(q_cal)
+    assert e_cal < 5e-2, e_cal
+    # calibration must not make things worse (tiny slack for noise)
+    assert e_cal <= e_plain * 1.25 + 1e-3, (e_cal, e_plain)
+
+
+def test_smoothing_factorization_is_exact():
+    """x @ w == (x * inv_s) @ (w * s) before quantization: the smoothing
+    transform itself introduces no error beyond float rounding."""
+    from muggled_dpt_tpu.ops.quant import compute_smoothing
+
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((3, 16, 8)).astype(np.float32)
+    acts = {"fc1": [np.abs(rng.standard_normal(16)).astype(np.float32) * (10 ** rng.uniform(-2, 2)) for _ in range(3)]}
+    s = compute_smoothing({"fc1_kernel": w}, acts, subset=("fc1",))["fc1"]
+    x = rng.standard_normal((5, 16)).astype(np.float32)
+    for layer in range(3):
+        ref = x @ w[layer]
+        got = (x / s[layer]) @ (w[layer] * s[layer][:, None])
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
