@@ -332,8 +332,14 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         return out[:, :n, :]
 
     # ---- online: keys streamed in blocks ----
+    # (1024, 1024) won the round-3 on-chip sweep at every ViT-L-family size
+    # (N=5477: 1.78 vs 2.01 ms; N=10405: 7.40 vs 7.86; N=18497: 22.05 vs
+    # 22.99 per 16-head op against the old (512, 1024); small block_k is
+    # disastrous — correction overhead per k-step: bk=512 doubles the time).
+    # XLA's dot_product_attention at these sizes: 122 ms at N=5477, OOM at
+    # N=18497. tools/flash_tune.py reruns the sweep.
     if block_q is None:
-        block_q = 512
+        block_q = 1024
     if block_k is None:
         block_k = 1024
     block_q = min(block_q, n_pad128)
@@ -364,6 +370,11 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
                 kv_len=n, block_k=block_k, bias_ref=b_ref,
             )
 
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        # allow large (block_q, block_k) logit tiles past the default 16 MB
+        # scoped budget (the tuned blocks for N>8k reach 8-16 MB per tile)
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -376,6 +387,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
+        **kwargs,
     )(*args)
     return out[:, :n, :]
 

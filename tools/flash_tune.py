@@ -1,0 +1,81 @@
+"""Online-flash (N > 2048) block-size sweep on the real TPU.
+
+The large-resolution serving ratios (1036²/1428²/1904² at 1.47x/1.22x/1.17x
+vs the reference GPU) are bounded by the online-softmax kernel, which until
+round 3 ran fixed (block_q=512, block_k=1024). This sweeps block shapes at
+the token counts those image sizes produce and prints a table; the winner
+per regime feeds the block-size heuristic in ops/pallas/flash_attention.py.
+
+Run: python tools/flash_tune.py [n ...]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from muggled_dpt_tpu.ops.pallas.flash_attention import _flash_bhnd_prescaled  # noqa: E402
+
+
+def timeit_chain(fn, x, reps=4, k1=3, k2=9):
+    """In-graph chain slope timing (tunnel RTT cancels)."""
+    def chain(x0, k):
+        y = x0
+        for _ in range(k):
+            y = fn(y)
+        return y
+
+    j1 = jax.jit(lambda x0: chain(x0, k1))
+    j2 = jax.jit(lambda x0: chain(x0, k2))
+    np.asarray(j1(x)[0, 0, 0]); np.asarray(j2(x)[0, 0, 0])
+
+    def run(j):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(j(x)[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(j2) - run(j1)) / (k2 - k1)
+
+
+def main():
+    ns = [int(a) for a in sys.argv[1:]] or [5477, 10405, 18497]
+    h, d = 16, 64  # ViT-L heads; BH=16 per batch-1 frame
+    rng = np.random.default_rng(0)
+    for n in ns:
+        q = jnp.asarray(rng.standard_normal((h, n, d)), jnp.bfloat16)
+
+        def make_fn(bq, bk):
+            def fn(x):
+                o = _flash_bhnd_prescaled(x, x, x, None, block_q=bq, block_k=bk)
+                return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
+            return fn
+
+        def xla_fn(x):
+            o = jax.nn.dot_product_attention(
+                x.transpose(1, 0, 2)[None], x.transpose(1, 0, 2)[None], x.transpose(1, 0, 2)[None]
+            )[0].transpose(1, 0, 2)
+            return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
+
+        print(f"\nN={n} (BH={h}, D={d}):")
+        try:
+            t = timeit_chain(xla_fn, q)
+            print(f"  xla dot_product_attention          {t*1e3:8.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"  xla dpa failed: {type(e).__name__}")
+        for bq, bk in ((512, 1024), (1024, 1024), (1024, 512), (2048, 1024)):
+            try:
+                t = timeit_chain(make_fn(bq, bk), q)
+                print(f"  online bq={bq:<5} bk={bk:<5}        {t*1e3:8.2f} ms")
+            except Exception as e:  # noqa: BLE001
+                print(f"  online bq={bq:<5} bk={bk:<5}        failed: {type(e).__name__}")
+
+
+if __name__ == "__main__":
+    main()

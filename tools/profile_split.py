@@ -1,11 +1,11 @@
-"""Component-split profiler for the headline model (DA-V2 ViT-L @ 504^2).
+"""Component-split profiler for the DA-V2 models (ViT-L default, --giant).
 
 Times cumulative pipeline prefixes (prep | +embed+encoder | +reassembly |
 +fusion | +head) on the real TPU, using the slope between two dispatch-queue
 depths so the tunnel's ~25 ms readback RTT cancels. Differences between
 consecutive rows give the per-stage split that docs/performance.md reports.
 
-Run: python tools/profile_split.py [size]
+Run: python tools/profile_split.py [size] [--giant]
 """
 
 import sys
@@ -40,18 +40,34 @@ def main():
     from muggled_dpt_tpu.models.dpt_neck import fusion_forward, head_forward, reassemble_forward
     from muggled_dpt_tpu.checkpoints.depth_anything import REASSEMBLY_SCALES
 
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 518
+    args = [a for a in sys.argv[1:] if a != "--giant"]
+    giant = "--giant" in sys.argv[1:]
+    size = int(args[0]) if args else 518
 
-    model = make_depthanythingv2_dpt(
-        features_per_token=1024,
-        num_heads=16,
-        num_blocks=24,
-        reassembly_features_list=(256, 512, 1024, 1024),
-        base_patch_grid_hw=(37, 37),
-        fusion_channels=256,
-        patch_size_px=14,
-        dtype=jnp.bfloat16,
-    )
+    if giant:
+        # DA-V2 ViT-Giant (SwiGLU): reference make_depthanythingv2_dpt.py:88-95
+        model = make_depthanythingv2_dpt(
+            features_per_token=1536,
+            num_heads=24,
+            num_blocks=40,
+            reassembly_features_list=(1536, 1536, 1536, 1536),
+            base_patch_grid_hw=(37, 37),
+            fusion_channels=384,
+            patch_size_px=14,
+            is_giant=True,
+            dtype=jnp.bfloat16,
+        )
+    else:
+        model = make_depthanythingv2_dpt(
+            features_per_token=1024,
+            num_heads=16,
+            num_blocks=24,
+            reassembly_features_list=(256, 512, 1024, 1024),
+            base_patch_grid_hw=(37, 37),
+            fusion_channels=256,
+            patch_size_px=14,
+            dtype=jnp.bfloat16,
+        )
     enc_cfg = model.spec["encoder_config"]
 
     rng = np.random.default_rng(0)
