@@ -218,6 +218,32 @@ def make_handler(model, source, max_side, is_metric, mask=None, crop=None):
                     "application/octet-stream",
                     {"X-rgb-size": str(len(rgb)), "X-depth-size": str(len(depth))},
                 )
+            if path in ("/export/obj", "/export/glb"):
+                # headless mesh export (same math as the browser client's
+                # exportOBJ/exportGLB; demo_helpers/mesh_export.py)
+                from urllib.parse import parse_qs
+
+                from muggled_dpt_tpu.demo_helpers.mesh_export import export_glb, export_obj
+
+                q = parse_qs(self.path.split("?")[1]) if "?" in self.path else {}
+
+                def qf(name, default, cast=float):
+                    try:
+                        return cast(q[name][0])
+                    except (KeyError, ValueError, IndexError):
+                        return default
+
+                frame = source.read_frame(qf("frame", 0, int))
+                if frame is None:
+                    return self._send(503, b"no frame")
+                if crop is not None:
+                    frame = crop.apply(frame)
+                d = np.asarray(model.inference(frame, max_side, True), np.float32).squeeze()
+                d = normalize_01(remove_infinities(d))
+                kwargs = dict(grid=min(max(qf("grid", 320, int), 2), 1024), scale=qf("scale", 0.6), offset=qf("offset", 0.0))
+                if path.endswith("obj"):
+                    return self._send(200, export_obj(d, **kwargs), "text/plain")
+                return self._send(200, export_glb(d, **kwargs), "model/gltf-binary")
             return self._send(404, b"not found")
 
         def do_POST(self):

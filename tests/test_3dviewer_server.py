@@ -263,3 +263,68 @@ def test_viewer_shader_uniforms_declared():
         assert u in declared_u, f"uniform {u} not declared in any shader"
     for a in set(re.findall(r"getAttribLocation\(\w+,\s*\"(\w+)\"\)", js)):
         assert a in declared_a, f"attribute {a} not declared in any shader"
+
+
+def test_export_obj_and_glb_endpoints(server):
+    """Headless mesh export: /export/obj parses as a valid OBJ grid mesh and
+    /export/glb is a structurally valid binary glTF — this is the executable
+    verification of the client's export math (same formulas,
+    demo_helpers/mesh_export.py; no JS engine exists in this image)."""
+    status, headers, body = _get(server["base"] + "/export/obj?grid=8&scale=0.5&offset=0.1")
+    assert status == 200
+    lines = body.decode().splitlines()
+    n_side = 9
+    vs = [l for l in lines if l.startswith("v ")]
+    vts = [l for l in lines if l.startswith("vt ")]
+    fs = [l for l in lines if l.startswith("f ")]
+    assert len(vs) == n_side * n_side and len(vts) == n_side * n_side
+    assert len(fs) == 8 * 8 * 2
+    # z = scale*d + offset with d in [0,1] -> z bounded by [offset, scale+offset]
+    zs = [float(l.split()[3]) for l in vs]
+    assert min(zs) >= 0.1 - 1e-4 and max(zs) <= 0.6 + 1e-4
+    # face indices are 1-based and in range
+    first_face = fs[0].split()[1:]
+    assert all(1 <= int(tok.split("/")[0]) <= n_side * n_side for tok in first_face)
+
+    status, _, glb = _get(server["base"] + "/export/glb?grid=8")
+    assert status == 200
+    import struct as _struct
+
+    magic, version, total = _struct.unpack_from("<III", glb, 0)
+    assert magic == 0x46546C67 and version == 2 and total == len(glb)
+    json_len, json_tag = _struct.unpack_from("<II", glb, 12)
+    assert json_tag == 0x4E4F534A and json_len % 4 == 0
+    gltf = json.loads(glb[20 : 20 + json_len])
+    bin_len, bin_tag = _struct.unpack_from("<II", glb, 20 + json_len)
+    assert bin_tag == 0x004E4942
+    assert 20 + json_len + 8 + bin_len == total
+    acc = gltf["accessors"]
+    assert acc[0]["count"] == 81 and acc[0]["type"] == "VEC3" and acc[0]["componentType"] == 5126
+    assert acc[2]["count"] == 8 * 8 * 6 and acc[2]["componentType"] == 5125
+    assert gltf["buffers"][0]["byteLength"] == bin_len
+    # positions decode from the BIN chunk and match the accessor min/max
+    pos = np.frombuffer(glb, np.float32, count=81 * 3, offset=20 + json_len + 8).reshape(-1, 3)
+    np.testing.assert_allclose(pos.min(axis=0), acc[0]["min"], rtol=1e-6)
+    np.testing.assert_allclose(pos.max(axis=0), acc[0]["max"], rtol=1e-6)
+
+
+def test_mesh_math_matches_client_source():
+    """Pin the Python exporter to the exact client formulas by reading the JS
+    source: winding order, vertex position expressions, GLB chunk tags."""
+    from muggled_dpt_tpu.demo_helpers import mesh_export
+
+    js = open(osp.join(VIEWER_DIR, "viewer.js")).read()
+    # winding (i0, i2, i1), (i1, i2, i3)
+    assert "indices[p++] = i0; indices[p++] = i2; indices[p++] = i1;" in js
+    assert "indices[p++] = i1; indices[p++] = i2; indices[p++] = i3;" in js
+    # position formulas
+    assert "(u - 0.5) * state.aspect" in js and "0.5 - v" in js and "A * d + B" in js
+    # GLB chunk tags
+    assert "0x46546c67" in js and "0x4e4f534a" in js and "0x004e4942" in js
+
+    # tiny hand-checked case: 2x2 depth, grid=1 -> 4 vertices, 2 triangles
+    d = np.array([[0.0, 1.0], [0.5, 0.25]], np.float32)
+    pos, uvs, idx = mesh_export.build_mesh_arrays(d, grid=1, scale=2.0, offset=1.0)
+    np.testing.assert_allclose(pos[:, 2], [1.0 + 2 * 0.0, 1.0 + 2 * 1.0, 1.0 + 2 * 0.5, 1.0 + 2 * 0.25])
+    np.testing.assert_allclose(pos[0], [-0.5, 0.5, 1.0])  # u=0,v=0 top-left
+    np.testing.assert_array_equal(idx, [[0, 2, 1], [1, 2, 3]])
