@@ -34,7 +34,12 @@ from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthr
 from muggled_dpt_tpu.demo_helpers.postprocess import normalize_01, remove_infinities
 
 VIEWER_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "muggled_dpt_tpu", "demo_helpers", "viewer3d")
-STATIC_WHITELIST = {"/": "index.html", "/index.html": "index.html", "/viewer.js": "viewer.js"}
+STATIC_WHITELIST = {
+    "/": "index.html",
+    "/index.html": "index.html",
+    "/viewer.js": "viewer.js",
+    "/info.html": "info.html",  # standalone docs (reference 3dviewer/info.html)
+}
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 

@@ -105,6 +105,8 @@ def test_static_whitelist_and_404(server):
     assert status == 200 and b"<html" in body.lower() and "text/html" in headers["Content-Type"]
     status, headers, _ = _get(server["base"] + "/viewer.js")
     assert status == 200 and "javascript" in headers["Content-Type"]
+    status, headers, body = _get(server["base"] + "/info.html")
+    assert status == 200 and b"Wire protocol" in body  # standalone docs page
     for path in ("/secret.txt", "/../run_3dviewer.py", "/index.html.bak"):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server["base"] + path)

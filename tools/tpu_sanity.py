@@ -107,8 +107,24 @@ def main():
     m16 = make_depthanythingv2_dpt(256, 4, 12, (32, 64, 128, 256), (37, 37), 64, dtype=jnp.bfloat16)
     d_dense = np.asarray(m16.inference(img_big), np.float32)
     d_q8 = np.asarray(m16.quantize_encoder_int8().inference(img_big), np.float32)
-    absrel = float(np.abs(d_q8 - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
-    ok &= check("DA-V2 F256L12 int8 tier abs-rel vs bf16", absrel < 5e-2, f"{absrel:.2e}")
+    absrel_default = float(np.abs(d_q8 - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
+    ok &= check("DA-V2 F256L12 int8 tier abs-rel vs bf16", absrel_default < 5e-2, f"{absrel_default:.2e}")
+
+    # calibrated include_qkv gate: SmoothQuant smoothing from 2 frames must
+    # bring the full-subset (qkv included) error within ~2x the default
+    # subset's error (round-3 VERDICT item 6 acceptance)
+    cal_frames = [rng.integers(0, 256, (360, 640, 3), dtype=np.uint8) for _ in range(2)]
+    m_cal = m16.quantize_encoder_int8(include_qkv=True, calibration_images=cal_frames)
+    d_cal = np.asarray(m_cal.inference(img_big), np.float32)
+    absrel_cal = float(np.abs(d_cal - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
+    m_qkv = m16.quantize_encoder_int8(include_qkv=True)
+    d_qkv = np.asarray(m_qkv.inference(img_big), np.float32)
+    absrel_qkv = float(np.abs(d_qkv - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
+    ok &= check(
+        "int8 calibrated include_qkv within 2x default-subset error",
+        absrel_cal < 2.0 * absrel_default + 1e-3,
+        f"calibrated {absrel_cal:.2e} | uncalibrated qkv {absrel_qkv:.2e} | default {absrel_default:.2e}",
+    )
 
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     return 0 if ok else 1
