@@ -42,6 +42,22 @@ class BEiTConfig:
 
 
 @functools.lru_cache(maxsize=64)
+def _axis_selection_np(g: int) -> np.ndarray:
+    """(g*g, 2g-1) one-hot selection matrix S[(iq*g + ik), iq-ik+g-1] = 1.
+
+    The relative-position bias is 2D block-Toeplitz: bias[(yq,xq),(yk,xk)] =
+    T[yq-yk, xq-xk]. Expanding the table per axis with these one-hot matmuls
+    runs on the MXU and replaces the reference's "extremely slow" N x N
+    gather (relative_positional_encoder.py:303) — measured 4.6 ms/layer for
+    the XLA gather at grid 32 vs sub-millisecond for the matmuls. One-hot
+    rows make the matmul EXACT in f32 (each output is 1.0 * value + zeros)."""
+    iq, ik = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    s = np.zeros((g * g, 2 * g - 1), np.float32)
+    s[(iq * g + ik).ravel(), (iq - ik + g - 1).ravel()] = 1.0
+    return s
+
+
+@functools.lru_cache(maxsize=64)
 def relative_position_index(grid_hw: tuple[int, int]) -> np.ndarray:
     """Deterministic (N, N) int32 matrix of relative-offset ids, with special
     cls entries (relative_positional_encoder.py:117-238). N = gh*gw + 1."""
@@ -95,13 +111,30 @@ def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw, pad_to: int | None = N
     token_lut = token_lut.reshape(num_layers, new_h * new_w, heads)
     full_lut = jnp.concatenate([token_lut, lut[:, ref_h * ref_w :, :]], axis=1)  # (L, R', H)
 
-    idx = jnp.asarray(relative_position_index((gh, gw)))  # (N, N)
-    n = idx.shape[0]
-    # one gather for all layers: (L, R', H) -> (L, N*N, H) -> (L, H, N, N)
-    bias = jnp.take(full_lut, idx.reshape(-1), axis=1)
-    bias = bias.reshape(num_layers, n, n, heads).transpose(0, 3, 1, 2)
-    if pad_to is not None and pad_to > n:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_to - n), (0, pad_to - n)))
+    # Block-Toeplitz expansion via one-hot selection matmuls instead of the
+    # N x N gather (see _axis_selection_np): bias[(yq,xq),(yk,xk)] =
+    # T[yq-yk+gh-1, xq-xk+gw-1] for patch tokens; exact in f32.
+    t = token_lut.reshape(num_layers, new_h, new_w, heads)
+    sy = jnp.asarray(_axis_selection_np(gh))  # (gh^2, 2gh-1)
+    sx = jnp.asarray(_axis_selection_np(gw))  # (gw^2, 2gw-1)
+    hi = jax.lax.Precision.HIGHEST
+    c1 = jnp.einsum("pa,labh->lpbh", sy, t, precision=hi)  # (L, gh^2, 2gw-1, H)
+    c2 = jnp.einsum("qb,lpbh->lpqh", sx, c1, precision=hi)  # (L, gh^2, gw^2, H)
+    n = gh * gw + 1
+    tok = (
+        c2.reshape(num_layers, gh, gh, gw, gw, heads)
+        .transpose(0, 5, 1, 3, 2, 4)
+        .reshape(num_layers, heads, n - 1, n - 1)
+    )
+    # cls borders from the 3 special LUT rows (cls->token, token->cls,
+    # cls->cls; same final state as the reference's index writes,
+    # relative_positional_encoder.py:117-238)
+    specials = lut[:, ref_h * ref_w :, :].transpose(0, 2, 1)  # (L, H, 3)
+    pad_n = pad_to if (pad_to is not None and pad_to > n) else n
+    bias = jnp.pad(tok, ((0, 0), (0, 0), (1, pad_n - n), (1, pad_n - n)))
+    bias = bias.at[:, :, 0, :n].set(jnp.broadcast_to(specials[:, :, 0:1], (num_layers, heads, n)))
+    bias = bias.at[:, :, :n, 0].set(jnp.broadcast_to(specials[:, :, 1:2], (num_layers, heads, n)))
+    bias = bias.at[:, :, 0, 0].set(specials[:, :, 2])
     return bias
 
 

@@ -93,3 +93,31 @@ def test_e2e_parity_vs_torch_reference(tmp_path, enable_cache):
 
     assert depth.shape == ref_depth.shape
     assert _abs_rel(depth, ref_depth) < 1e-4, f"abs-rel {_abs_rel(depth, ref_depth)}"
+
+
+def test_bias_toeplitz_expansion_matches_gather():
+    """compute_bias_stack's one-hot selection matmuls must reproduce the
+    direct LUT[index] gather bit-exactly (one-hot rows: each output element
+    is 1.0 * value + zeros — exact in f32), including rectangular grids and
+    LUT rescales."""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu.models.beit import compute_bias_stack, relative_position_index
+    from muggled_dpt_tpu.ops.resize import resize_2d
+
+    rng = np.random.default_rng(0)
+    for (bh, bw), (gh, gw) in [((6, 6), (6, 6)), ((6, 6), (9, 7)), ((4, 4), (5, 5))]:
+        L, H = 3, 2
+        ref_h, ref_w = 2 * bh - 1, 2 * bw - 1
+        lut = jnp.asarray(rng.standard_normal((L, ref_h * ref_w + 3, H)), jnp.float32)
+        got = np.asarray(compute_bias_stack(lut, (bh, bw), (gh, gw)))
+
+        new_h, new_w = 2 * gh - 1, 2 * gw - 1
+        tl = np.asarray(lut)[:, : ref_h * ref_w, :].reshape(L, ref_h, ref_w, H)
+        if (new_h, new_w) != (ref_h, ref_w):
+            tl = np.asarray(resize_2d(jnp.asarray(tl), (new_h, new_w), mode="bilinear", align_corners=False))
+        full = np.concatenate([tl.reshape(L, new_h * new_w, H), np.asarray(lut)[:, ref_h * ref_w :, :]], axis=1)
+        idx = relative_position_index((gh, gw))
+        n = idx.shape[0]
+        ref = full[:, idx.reshape(-1), :].reshape(L, n, n, H).transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(got, ref.astype(np.float32), err_msg=f"{(bh,bw)}->{(gh,gw)}")
