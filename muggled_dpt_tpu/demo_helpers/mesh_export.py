@@ -34,8 +34,10 @@ def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6,
     u = np.arange(side, dtype=np.float32) / grid
     v = np.arange(side, dtype=np.float32) / grid
     uu, vv = np.meshgrid(u, v)  # row-major: vertex i = y*(grid+1)+x
-    px = np.minimum(w - 1, np.round(uu * (w - 1)).astype(np.int64))
-    py = np.minimum(h - 1, np.round(vv * (h - 1)).astype(np.int64))
+    # half-UP rounding to match JS Math.round (np.round is half-to-even and
+    # would pick a different pixel at exact .5 sample coordinates)
+    px = np.minimum(w - 1, np.floor(uu * (w - 1) + 0.5).astype(np.int64))
+    py = np.minimum(h - 1, np.floor(vv * (h - 1) + 0.5).astype(np.int64))
     d = depth_01[py, px].astype(np.float32)
     positions = np.stack(
         [(uu - 0.5) * aspect, 0.5 - vv, scale * d + offset], axis=-1

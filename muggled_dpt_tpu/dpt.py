@@ -74,9 +74,11 @@ class DPTModel:
 
     def _cast_dtype(self, a, path=()):
         a = np.asarray(a)
-        # int8 dequant scales stay f32: bf16-rounding them would add ~0.3%
-        # per-channel error on top of the int8 error (ops/quant.py recipe)
-        if path and str(getattr(path[-1], "key", "")).endswith("_kernel_scale"):
+        # int8 dequant scales and SmoothQuant activation factors stay f32:
+        # bf16-rounding them would add ~0.3% per-channel error on top of the
+        # int8 error — and the act_smooth inverse must cancel the f32 factor
+        # folded into the weights exactly (ops/quant.py recipe)
+        if path and str(getattr(path[-1], "key", "")).endswith(("_kernel_scale", "_act_smooth")):
             return a.dtype
         return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
 

@@ -156,8 +156,8 @@ def block_forward(tokens, bp, bias_hnn, cfg: BEiTConfig, capture: bool = False):
     attn_params = {
         k: bp[k]
         for k in (
-            "qkv_kernel", "qkv_kernel_q8", "qkv_kernel_scale",
-            "proj_kernel", "proj_kernel_q8", "proj_kernel_scale", "proj_bias",
+            "qkv_kernel", "qkv_kernel_q8", "qkv_kernel_scale", "qkv_act_smooth",
+            "proj_kernel", "proj_kernel_q8", "proj_kernel_scale", "proj_act_smooth", "proj_bias",
         )
         if k in bp
     }

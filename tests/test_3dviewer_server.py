@@ -330,3 +330,20 @@ def test_mesh_math_matches_client_source():
     np.testing.assert_allclose(pos[:, 2], [1.0 + 2 * 0.0, 1.0 + 2 * 1.0, 1.0 + 2 * 0.5, 1.0 + 2 * 0.25])
     np.testing.assert_allclose(pos[0], [-0.5, 0.5, 1.0])  # u=0,v=0 top-left
     np.testing.assert_array_equal(idx, [[0, 2, 1], [1, 2, 3]])
+
+
+def test_mesh_sampling_rounds_half_up_like_js():
+    """JS Math.round rounds .5 UP; numpy's np.round is half-to-even. At grid
+    coordinates that land exactly on .5 (e.g. u=0.5 with w=2 -> px=0.5) the
+    exporter must pick the same pixel the browser client would (column 1, not
+    column 0)."""
+    from muggled_dpt_tpu.demo_helpers import mesh_export
+
+    # w=2: sample coord for the middle column (u=0.5) is 0.5*(2-1)=0.5 exactly
+    d = np.array([[0.0, 1.0], [0.0, 1.0]], np.float32)
+    pos, _, _ = mesh_export.build_mesh_arrays(d, grid=2, scale=1.0, offset=0.0)
+    z = pos[:, 2].reshape(3, 3)
+    # Math.round(0.5) == 1 -> middle column samples depth column 1 (value 1.0)
+    np.testing.assert_allclose(z[:, 1], 1.0)
+    np.testing.assert_allclose(z[:, 0], 0.0)
+    np.testing.assert_allclose(z[:, 2], 1.0)

@@ -128,6 +128,47 @@ def test_int8_calibrated_qkv():
     assert e_cal <= e_plain * 1.25 + 1e-3, (e_cal, e_plain)
 
 
+def test_int8_calibrated_qkv_beit():
+    """BEiT's block_forward assembles the attention param dict explicitly —
+    it must pass the qkv/proj `_act_smooth` vectors through, or the smoothing
+    factor folded into the int8 weights is applied WITHOUT its inverse and the
+    calibrated model silently diverges (regression for the round-3 fix)."""
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (120, 160, 3), np.uint8) for _ in range(2)]
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+
+    q_cal = m.quantize_encoder_int8(include_qkv=True, calibration_images=frames)
+    b = q_cal.params["encoder"]["blocks"]
+    assert "qkv_act_smooth" in b and "proj_act_smooth" in b
+
+    d1 = np.asarray(q_cal.inference(img), np.float32)
+    absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+    # without the passthrough the un-cancelled smoothing factors blow this
+    # metric up by an order of magnitude
+    assert absrel < 2e-2, absrel
+
+
+def test_act_smooth_stays_f32_under_bf16_model():
+    """`DPTModel._cast_dtype` must exempt `_act_smooth` (like `_kernel_scale`):
+    the runtime inverse has to cancel the f32 factor folded into the weights
+    exactly, so bf16-rounding it reintroduces per-channel error (regression
+    for the round-3 fix)."""
+    m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, (120, 160, 3), np.uint8)]
+    q = m.quantize_encoder_int8(include_qkv=True, calibration_images=frames)
+    b = q.params["encoder"]["blocks"]
+    assert b["qkv_act_smooth"].dtype == jnp.float32
+    assert b["fc1_kernel_scale"].dtype == jnp.float32
+    # and the bf16 calibrated model still runs end-to-end
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    assert np.asarray(q.inference(img)).shape == np.asarray(m.inference(img)).shape
+
+
 def test_smoothing_factorization_is_exact():
     """x @ w == (x * inv_s) @ (w * s) before quantization: the smoothing
     transform itself introduces no error beyond float rounding."""
