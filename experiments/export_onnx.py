@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Export a Depth-Anything DPT model to a runnable .onnx artifact.
+
+The ONNX counterpart of the reference's experiments/export_onnx.py
+(export_onnx.py:117-211). The reference traces its torch model; this repo
+emits the graph directly from the functional params pytree
+(muggled_dpt_tpu/onnx_export/) — no onnx package required: the ModelProto is
+written at the protobuf wire level, and parity is checked by executing the
+emitted graph with the in-repo numpy evaluator against the live JAX model
+(the reference displays ONNX-vs-torch parity the same way,
+export_onnx.py:181-197).
+
+Like the reference's export, the artifact is shape-specialized: export one
+file per input size you serve (reference experiments/README.md:87). Input is
+the normalized (1, 3, H, W) float32 tensor; output is depth (1, H', W').
+
+Scope: the Depth-Anything families (V1/V2/metric/giant). BEiT/SwinV2 export
+goes through the StableHLO path (experiments/export_model.py).
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict  # noqa: E402
+from muggled_dpt_tpu.demo_helpers.saving import get_save_folder  # noqa: E402
+from muggled_dpt_tpu.onnx_export import emit_depth_anything_onnx, evaluate_model  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model_path", default=None)
+    parser.add_argument("-b", "--base_size_px", default=None, type=int)
+    parser.add_argument("-o", "--output_folder", default=None)
+    parser.add_argument("--skip_check", action="store_true", help="skip the numpy-evaluator parity check")
+    parser.add_argument("--timing_iters", default=0, type=int, help="time the numpy evaluator (oracle, not a runtime)")
+    args = parser.parse_args()
+
+    if args.model_path:
+        config, model = make_dpt_from_state_dict(args.model_path)
+        name = osp.splitext(osp.basename(args.model_path))[0]
+    else:
+        from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+        print("No model path - using tiny random DA-V2")
+        model = make_depthanythingv2_dpt(64, 1, 8, (8, 16, 32, 64), (16, 16), 16)
+        name = "tiny_dav2"
+
+    if "encoder_config" not in model.spec:
+        raise SystemExit("ONNX export covers the Depth-Anything families; use export_model.py (StableHLO) for BEiT/SwinV2")
+
+    side = args.base_size_px or model.default_size_px
+    h, w = model.compute_scaled_hw((side, side), side, True)
+    print(f"Emitting ONNX at fixed input size {h}x{w} (opset 17)")
+    onnx_bytes = emit_depth_anything_onnx(model, (h, w))
+
+    out_dir = get_save_folder(args.output_folder or osp.join("saved_results", "exports"))
+    out_path = osp.join(out_dir, f"{name}_{h}x{w}.onnx")
+    with open(out_path, "wb") as f:
+        f.write(onnx_bytes)
+    print(f"Wrote {out_path} ({len(onnx_bytes) / 1e6:.1f} MB)")
+
+    if not args.skip_check:
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 3, h, w)).astype(np.float32) * 0.5
+        want = np.asarray(model.to(jnp.float32).forward(jnp.asarray(x)), np.float32)
+        (got,) = evaluate_model(onnx_bytes, {"image": x}).values()
+        abs_rel = float(np.abs(got - want).mean() / (np.abs(want).mean() + 1e-12))
+        print(f"ONNX parity (numpy evaluator) abs-rel vs live f32 model: {abs_rel:.2e}")
+        assert abs_rel < 1e-3, "exported graph does not match live model!"
+
+    for i in range(args.timing_iters):
+        x = np.random.default_rng(i).standard_normal((1, 3, h, w)).astype(np.float32)
+        t0 = time.perf_counter()
+        evaluate_model(onnx_bytes, {"image": x})
+        print(f"evaluator iter {i}: {1e3 * (time.perf_counter() - t0):.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Emit a Depth-Anything DPT forward as a fixed-shape ONNX graph.
+
+The artifact analog of the reference's `experiments/export_onnx.py`
+(muggled_dpt reference, export_onnx.py:117-211): users with onnxruntime
+pipelines get a runnable `.onnx` of the depth model. The reference gets this
+via torch tracing; here the graph is emitted directly from this repo's
+functional params pytree — every node mirrors the corresponding op in
+`models/{depth_anything,dinov2}.py` / `models/dpt_neck.py` / `ops/nn.py`, and
+CI executes the emitted graph with the in-repo numpy evaluator against the
+JAX f32 forward (tests/test_onnx_export.py).
+
+Scope: the Depth-Anything families (V1 / V2 / V2-metric / SwiGLU giant) —
+the flagship models. Input is the model's normalized (1, 3, H, W) f32 tensor
+(the `DPTModel.forward` contract); output is depth (1, H', W'). Shapes are
+fixed at export time, matching this repo's jit-per-shape execution model (use
+`DPTModel.prepare_image_bgr` or replicate the ImageNet normalization for
+preprocessing).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..models.dinov2 import DinoV2Config, resize_pos_embed
+from ..checkpoints.depth_anything import REASSEMBLY_SCALES
+from ..ops.resize import resize_output_size
+from .builder import GraphBuilder
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a, np.float32)
+
+
+def _gelu_erf(g: GraphBuilder, x: str) -> str:
+    """0.5 * x * (1 + erf(x / sqrt(2))) — the exact (f32-parity) GELU form
+    (ops/nn.py:gelu)."""
+    inv_sqrt2 = g.init("inv_sqrt2", np.float32(1.0 / math.sqrt(2.0)))
+    one = g.init("one", np.float32(1.0))
+    half = g.init("half", np.float32(0.5))
+    e = g.op("Erf", [g.op("Mul", [x, inv_sqrt2])])
+    return g.op("Mul", [g.op("Mul", [x, g.op("Add", [e, one])]), half])
+
+
+def _linear(g: GraphBuilder, x: str, kernel: np.ndarray, bias: np.ndarray | None, hint: str) -> str:
+    y = g.op("MatMul", [x, g.init(hint + "_w", kernel)])
+    if bias is not None:
+        y = g.op("Add", [y, g.init(hint + "_b", bias)])
+    return y
+
+
+def _conv(g: GraphBuilder, x: str, kernel_hwio: np.ndarray, bias, hint: str, stride=1, pad=0) -> str:
+    """NCHW Conv from an HWIO kernel (ops/nn.py:conv2d layout)."""
+    w = g.init(hint + "_w", kernel_hwio.transpose(3, 2, 0, 1))  # HWIO -> OIHW
+    ins = [x, w]
+    if bias is not None:
+        ins.append(g.init(hint + "_b", bias))
+    kh, kw = kernel_hwio.shape[:2]
+    return g.op(
+        "Conv", ins, strides=[stride, stride], pads=[pad, pad, pad, pad],
+        kernel_shape=[kh, kw], dilations=[1, 1], group=1,
+    )
+
+
+def _conv1x1_from_linear(g: GraphBuilder, x: str, kernel_io: np.ndarray, bias, hint: str) -> str:
+    """1x1 NCHW Conv from an (in, out) linear kernel (ops/nn.py:linear on NHWC)."""
+    w = g.init(hint + "_w", kernel_io.T[:, :, None, None])  # (out, in, 1, 1)
+    ins = [x, w]
+    if bias is not None:
+        ins.append(g.init(hint + "_b", bias))
+    return g.op("Conv", ins, strides=[1, 1], pads=[0, 0, 0, 0], kernel_shape=[1, 1], dilations=[1, 1], group=1)
+
+
+def _resize(g: GraphBuilder, x: str, out_hw: tuple[int, int], in_chw: tuple[int, int, int]) -> str:
+    """Bilinear align_corners resize (ops/resize.py torch-parity mode used by
+    the fusion/head upsamples, dpt_neck.py:80,109)."""
+    sizes = g.init("sizes", np.asarray([1, in_chw[0], out_hw[0], out_hw[1]], np.int64))
+    return g.op(
+        "Resize", [x, "", "", sizes], mode="linear",
+        coordinate_transformation_mode="align_corners",
+    )
+
+
+def _slice(g: GraphBuilder, x: str, starts, ends, axes) -> str:
+    i64 = lambda hint, v: g.init(hint, np.asarray(v, np.int64))
+    return g.op("Slice", [x, i64("starts", starts), i64("ends", ends), i64("axes", axes)])
+
+
+def _reshape(g: GraphBuilder, x: str, shape) -> str:
+    return g.op("Reshape", [x, g.init("shape", np.asarray(shape, np.int64))])
+
+
+_I32MAX = 2**31 - 1
+
+
+def _attention(g: GraphBuilder, x: str, bp: dict, n: int, heads: int, c: int) -> str:
+    """Fused-QKV self-attention with the head-major column layout
+    (ops/nn.py:self_attention; checkpoints/convert_common.py:qkv_head_major)."""
+    d = c // heads
+    qkv = _linear(g, x, _np(bp["qkv_kernel"]), _np(bp["qkv_bias"]), "qkv")
+    qkv = _reshape(g, qkv, [1, n, heads, 3, d])
+    qkv = g.op("Transpose", [qkv], perm=[3, 0, 2, 1, 4])  # (3, 1, H, N, D)
+    parts = []
+    for i in range(3):
+        p = _slice(g, qkv, [i], [i + 1], [0])
+        parts.append(_reshape(g, p, [1, heads, n, d]))
+    q, k, v = parts
+    scale = g.init("attn_scale", np.float32(d ** -0.5))
+    q = g.op("Mul", [q, scale])  # q pre-scaled, as in ops/nn.py:sdpa
+    kt = g.op("Transpose", [k], perm=[0, 1, 3, 2])  # (1, H, D, N)
+    logits = g.op("MatMul", [q, kt])  # (1, H, N, N)
+    weights = g.op("Softmax", [logits], axis=-1)
+    out = g.op("MatMul", [weights, v])  # (1, H, N, D)
+    out = g.op("Transpose", [out], perm=[0, 2, 1, 3])
+    out = _reshape(g, out, [1, n, c])
+    return _linear(g, out, _np(bp["proj_kernel"]), _np(bp["proj_bias"]), "attn_proj")
+
+
+def _mlp(g: GraphBuilder, x: str, bp: dict, is_giant: bool) -> str:
+    if is_giant:  # SwiGLU (ops/nn.py:mlp_swiglu): w3(silu(a) * b), [a|b] = w12 x
+        h = _linear(g, x, _np(bp["w12_kernel"]), _np(bp["w12_bias"]), "w12")
+        hidden = int(_np(bp["w12_kernel"]).shape[-1]) // 2
+        a = _slice(g, h, [0], [hidden], [-1])
+        b = _slice(g, h, [hidden], [_I32MAX], [-1])
+        silu = g.op("Mul", [a, g.op("Sigmoid", [a])])
+        return _linear(g, g.op("Mul", [silu, b]), _np(bp["w3_kernel"]), _np(bp["w3_bias"]), "w3")
+    h = _linear(g, x, _np(bp["fc1_kernel"]), _np(bp["fc1_bias"]), "fc1")
+    return _linear(g, _gelu_erf(g, h), _np(bp["fc2_kernel"]), _np(bp["fc2_bias"]), "fc2")
+
+
+def _layer_norm(g: GraphBuilder, x: str, scale, bias, hint: str) -> str:
+    return g.op(
+        "LayerNormalization",
+        [x, g.init(hint + "_s", _np(scale)), g.init(hint + "_b", _np(bias))],
+        axis=-1, epsilon=1e-6,
+    )
+
+
+def _rcu(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) -> str:
+    """ReLU-Conv3x3-ReLU-Conv3x3 + skip (dpt_neck.py:residual_conv_unit)."""
+    h = g.op("Relu", [x])
+    h = _conv(g, h, _np(p["conv1_kernel"]), _np(p["conv1_bias"]), hint + "_c1", pad=1)
+    h = g.op("Relu", [h])
+    h = _conv(g, h, _np(p["conv2_kernel"]), _np(p["conv2_bias"]), hint + "_c2", pad=1)
+    return g.op("Add", [h, x])
+
+
+def _upsample_projection(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) -> tuple[str, tuple]:
+    """RCU -> 2x bilinear align_corners -> 1x1 conv (dpt_neck.py:76-81)."""
+    c, h, w = in_chw
+    x = _rcu(g, x, p["res2"], in_chw, hint + "_res2")
+    oh, ow = resize_output_size((h, w), 2.0)
+    x = _resize(g, x, (oh, ow), in_chw)
+    x = _conv1x1_from_linear(g, x, _np(p["out_kernel"]), _np(p["out_bias"]), hint + "_out")
+    return x, (int(_np(p["out_kernel"]).shape[-1]), oh, ow)
+
+
+def emit_depth_anything_onnx(model, image_hw: tuple[int, int]) -> bytes:
+    """Build the ONNX ModelProto bytes for a Depth-Anything `DPTModel`.
+
+    model: a DPTModel from make_depthanything{v1,v2}_dpt (any dtype — weights
+    are exported in f32). image_hw must satisfy the model's tiling constraint
+    (use model.compute_scaled_hw / verify_input).
+    """
+    params = model.params
+    cfg: DinoV2Config = model.spec["encoder_config"]
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+    p_px = model.patch_size_px
+    assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
+    gh, gw = ih // p_px, iw // p_px
+    n_patch = gh * gw
+    c = cfg.features
+    is_metric = bool(model.config.get("is_metric", False))
+
+    g = GraphBuilder("depth_anything")
+    x = g.add_input("image", (1, 3, ih, iw))
+
+    # Patch embed: stride==kernel conv (ops/nn.py:patchify_embed as a conv)
+    pe_k = _np(params["patch_embed"]["kernel"])  # (P, P, 3, F) HWIO
+    x = _conv(g, x, pe_k, _np(params["patch_embed"]["bias"]), "patch_embed", stride=p_px)
+    x = _reshape(g, x, [1, c, n_patch])
+    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (1, N, C)
+
+    # Position embedding, resized for this grid at export time (baked, exactly
+    # as jit bakes it at trace time — models/dinov2.py:resize_pos_embed)
+    pos = np.asarray(
+        resize_pos_embed(_np(params["encoder"]["pos_embed"]), cfg.base_grid_hw, (gh, gw)), np.float32
+    )
+    x = g.op("Add", [x, g.init("pos_embed", pos)])
+
+    cls_tok = _np(params["encoder"]["cls_token"]) + _np(params["encoder"]["cls_embed"])
+    x = g.op("Concat", [g.init("cls_token", cls_tok.reshape(1, 1, c)), x], axis=1)
+
+    n = n_patch + 1
+    stacked = params["encoder"]["blocks"]
+    taps = cfg.taps or DinoV2Config.stage_taps(cfg.num_blocks)
+    stage_tokens = []
+    for i in range(cfg.num_blocks):
+        bp = {k: np.asarray(v)[i] for k, v in stacked.items()}
+        h = _layer_norm(g, x, bp["norm1_scale"], bp["norm1_bias"], f"b{i}_ln1")
+        h = _attention(g, h, bp, n, cfg.num_heads, c)
+        h = g.op("Mul", [h, g.init(f"b{i}_ls1", _np(bp["ls1"]))])
+        x = g.op("Add", [x, h])
+        h = _layer_norm(g, x, bp["norm2_scale"], bp["norm2_bias"], f"b{i}_ln2")
+        h = _mlp(g, h, bp, cfg.is_giant)
+        h = g.op("Mul", [h, g.init(f"b{i}_ls2", _np(bp["ls2"]))])
+        x = g.op("Add", [x, h])
+        if i in taps:
+            stage_tokens.append(
+                _layer_norm(g, x, params["encoder"]["outnorm_scale"], params["encoder"]["outnorm_bias"], f"tap{i}_outnorm")
+            )
+
+    # Reassembly, readout='ignore' (dpt_neck.py:reassemble_stage)
+    maps = []
+    map_shapes = []
+    for si, (tok, p, scale) in enumerate(zip(stage_tokens, params["reassemble"], REASSEMBLY_SCALES)):
+        t = _slice(g, tok, [1], [_I32MAX], [1])  # drop cls token
+        t = g.op("Transpose", [t], perm=[0, 2, 1])  # (1, C, N)
+        t = _reshape(g, t, [1, c, gh, gw])
+        proj_k = _np(p["proj_kernel"])  # (C, C_out) linear == 1x1 conv
+        t = _conv1x1_from_linear(g, t, proj_k, _np(p["proj_bias"]), f"re{si}_proj")
+        ch = proj_k.shape[-1]
+        h_, w_ = gh, gw
+        if scale in (2, 4):
+            rk = _np(p["resample_kernel"])  # (kh, kw, ci, co) blocky transpose
+            w_onnx = g.init(f"re{si}_up_w", rk.transpose(2, 3, 0, 1))  # (ci, co, kh, kw)
+            t = g.op(
+                "ConvTranspose", [t, w_onnx, g.init(f"re{si}_up_b", _np(p["resample_bias"]))],
+                strides=[rk.shape[0], rk.shape[1]], kernel_shape=[rk.shape[0], rk.shape[1]],
+                pads=[0, 0, 0, 0], dilations=[1, 1], group=1,
+            )
+            ch = rk.shape[-1]
+            h_, w_ = gh * rk.shape[0], gw * rk.shape[1]
+        elif scale == 0.5:
+            rk = _np(p["resample_kernel"])
+            t = _conv(g, t, rk, _np(p["resample_bias"]), f"re{si}_down", stride=2, pad=1)
+            ch = rk.shape[-1]
+            h_, w_ = (gh + 2 - rk.shape[0]) // 2 + 1, (gw + 2 - rk.shape[1]) // 2 + 1
+        fk = _np(p["fuse_kernel"])  # 3x3, no bias (reassembly_model.py:135)
+        t = _conv(g, t, fk, None, f"re{si}_fuse", pad=1)
+        maps.append(t)
+        map_shapes.append((fk.shape[-1], h_, w_))
+
+    # Fusion (dpt_neck.py:fusion_forward): top-down RefineNet
+    fusion = params["fusion"]
+    x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3")
+    for mi, bi in ((2, 2), (1, 1), (0, 0)):
+        r = _rcu(g, maps[mi], fusion[bi]["res1"], map_shapes[mi], f"fu{bi}_res1")
+        x = g.op("Add", [r, x])
+        x, shp = _upsample_projection(g, x, fusion[bi], map_shapes[mi], f"fu{bi}")
+
+    # Head (dpt_neck.py:head_forward)
+    head = params["head"]
+    cin_k = _np(head["conv_in_kernel"])
+    x = _conv(g, x, cin_k, _np(head["conv_in_bias"]), "head_in", pad=1)
+    shp = (cin_k.shape[-1], shp[1], shp[2])
+    out_hw = resize_output_size((shp[1], shp[2]), model.spec["head_upsample"])
+    x = _resize(g, x, out_hw, shp)
+    x = _conv(g, x, _np(head["conv_mid_kernel"]), _np(head["conv_mid_bias"]), "head_mid", pad=1)
+    x = g.op("Relu", [x])
+    x = _conv1x1_from_linear(g, x, _np(head["proj_kernel"]), _np(head["proj_bias"]), "head_proj")
+    x = g.op("Sigmoid" if is_metric else "Relu", [x])
+    x = _reshape(g, x, [1, out_hw[0], out_hw[1]])
+    g.add_output(x, (1, out_hw[0], out_hw[1]))
+
+    return g.serialize(
+        opset=17,
+        doc=f"Depth-Anything DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
+    )
