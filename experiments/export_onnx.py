@@ -30,7 +30,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict  # noqa: E402
 from muggled_dpt_tpu.demo_helpers.saving import get_save_folder  # noqa: E402
-from muggled_dpt_tpu.onnx_export import emit_depth_anything_onnx, evaluate_model  # noqa: E402
+from muggled_dpt_tpu.onnx_export import emit_beit_onnx, emit_depth_anything_onnx, evaluate_model  # noqa: E402
 
 
 def main():
@@ -52,13 +52,17 @@ def main():
         model = make_depthanythingv2_dpt(64, 1, 8, (8, 16, 32, 64), (16, 16), 16)
         name = "tiny_dav2"
 
-    if "encoder_config" not in model.spec:
-        raise SystemExit("ONNX export covers the Depth-Anything families; use export_model.py (StableHLO) for BEiT/SwinV2")
+    enc_cfg = model.spec.get("encoder_config")
+    family = type(enc_cfg).__name__ if enc_cfg is not None else None
+    emitters = {"DinoV2Config": emit_depth_anything_onnx, "BEiTConfig": emit_beit_onnx}
+    emit = emitters.get(family)
+    if emit is None:
+        raise SystemExit("ONNX export covers Depth-Anything and BEiT; use export_model.py (StableHLO) for SwinV2")
 
     side = args.base_size_px or model.default_size_px
     h, w = model.compute_scaled_hw((side, side), side, True)
     print(f"Emitting ONNX at fixed input size {h}x{w} (opset 17)")
-    onnx_bytes = emit_depth_anything_onnx(model, (h, w))
+    onnx_bytes = emit(model, (h, w))
 
     out_dir = get_save_folder(args.output_folder or osp.join("saved_results", "exports"))
     out_path = osp.join(out_dir, f"{name}_{h}x{w}.onnx")

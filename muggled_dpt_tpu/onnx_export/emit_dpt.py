@@ -1,20 +1,22 @@
-"""Emit a Depth-Anything DPT forward as a fixed-shape ONNX graph.
+"""Emit DPT forwards as fixed-shape ONNX graphs.
 
 The artifact analog of the reference's `experiments/export_onnx.py`
 (muggled_dpt reference, export_onnx.py:117-211): users with onnxruntime
 pipelines get a runnable `.onnx` of the depth model. The reference gets this
 via torch tracing; here the graph is emitted directly from this repo's
 functional params pytree — every node mirrors the corresponding op in
-`models/{depth_anything,dinov2}.py` / `models/dpt_neck.py` / `ops/nn.py`, and
-CI executes the emitted graph with the in-repo numpy evaluator against the
-JAX f32 forward (tests/test_onnx_export.py).
+`models/{depth_anything,dinov2,beit}.py` / `models/dpt_neck.py` /
+`ops/nn.py`, and CI executes the emitted graph with the in-repo numpy
+evaluator against the JAX f32 forward (tests/test_onnx_export.py).
 
-Scope: the Depth-Anything families (V1 / V2 / V2-metric / SwiGLU giant) —
-the flagship models. Input is the model's normalized (1, 3, H, W) f32 tensor
+Scope: the Depth-Anything families (V1 / V2 / V2-metric / SwiGLU giant) and
+MiDaS-v3.1 BEiT. Input is the model's normalized (1, 3, H, W) f32 tensor
 (the `DPTModel.forward` contract); output is depth (1, H', W'). Shapes are
 fixed at export time, matching this repo's jit-per-shape execution model (use
-`DPTModel.prepare_image_bgr` or replicate the ImageNet normalization for
-preprocessing).
+`DPTModel.prepare_image_bgr` or replicate the family normalization for
+preprocessing). BEiT's per-layer relative-position bias is baked per grid as
+initializers — mind the artifact size at large grids (calculate_bias_bytes,
+models/beit.py:81).
 """
 
 from __future__ import annotations
@@ -94,9 +96,11 @@ def _reshape(g: GraphBuilder, x: str, shape) -> str:
 _I32MAX = 2**31 - 1
 
 
-def _attention(g: GraphBuilder, x: str, bp: dict, n: int, heads: int, c: int) -> str:
+def _attention(g: GraphBuilder, x: str, bp: dict, n: int, heads: int, c: int, bias: np.ndarray | None = None) -> str:
     """Fused-QKV self-attention with the head-major column layout
-    (ops/nn.py:self_attention; checkpoints/convert_common.py:qkv_head_major)."""
+    (ops/nn.py:self_attention; checkpoints/convert_common.py:qkv_head_major).
+    bias: optional (1, H, N, N) additive logit bias, baked as an initializer
+    (BEiT's relative-position bias, ops/nn.py:sdpa)."""
     d = c // heads
     qkv = _linear(g, x, _np(bp["qkv_kernel"]), _np(bp["qkv_bias"]), "qkv")
     qkv = _reshape(g, qkv, [1, n, heads, 3, d])
@@ -110,6 +114,8 @@ def _attention(g: GraphBuilder, x: str, bp: dict, n: int, heads: int, c: int) ->
     q = g.op("Mul", [q, scale])  # q pre-scaled, as in ops/nn.py:sdpa
     kt = g.op("Transpose", [k], perm=[0, 1, 3, 2])  # (1, H, D, N)
     logits = g.op("MatMul", [q, kt])  # (1, H, N, N)
+    if bias is not None:
+        logits = g.op("Add", [logits, g.init("attn_bias", np.asarray(bias, np.float32))])
     weights = g.op("Softmax", [logits], axis=-1)
     out = g.op("MatMul", [weights, v])  # (1, H, N, D)
     out = g.op("Transpose", [out], perm=[0, 2, 1, 3])
@@ -154,6 +160,72 @@ def _upsample_projection(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) ->
     x = _resize(g, x, (oh, ow), in_chw)
     x = _conv1x1_from_linear(g, x, _np(p["out_kernel"]), _np(p["out_bias"]), hint + "_out")
     return x, (int(_np(p["out_kernel"]).shape[-1]), oh, ow)
+
+
+def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, readout: str) -> tuple[str, tuple[int, int]]:
+    """Reassembly -> fusion -> head, shared across families
+    (models/dpt_neck.py). Returns (output name, depth (h, w))."""
+    params = model.params
+    is_metric = bool(model.config.get("is_metric", False))
+
+    maps = []
+    map_shapes = []
+    for si, (tok, p, scale) in enumerate(zip(stage_tokens, params["reassemble"], REASSEMBLY_SCALES)):
+        if readout == "project":
+            # concat cls onto every patch token -> Linear -> GELU
+            # (dpt_neck.py:readout_project; v31_beit readout_projection.py:55-83)
+            patches = _slice(g, tok, [1], [_I32MAX], [1])
+            cls = _slice(g, tok, [0], [1], [1])
+            cls_e = g.op("Expand", [cls, g.init(f"re{si}_cls_shape", np.asarray([1, gh * gw, c], np.int64))])
+            merged = g.op("Concat", [patches, cls_e], axis=-1)
+            ro = params["reassemble"][si]["readout"]
+            t = _gelu_erf(g, _linear(g, merged, _np(ro["kernel"]), _np(ro["bias"]), f"re{si}_readout"))
+        else:  # 'ignore': drop the cls token (dpt_neck.py:reassemble_stage)
+            t = _slice(g, tok, [1], [_I32MAX], [1])
+        t = g.op("Transpose", [t], perm=[0, 2, 1])  # (1, C, N)
+        t = _reshape(g, t, [1, c, gh, gw])
+        proj_k = _np(p["proj_kernel"])  # (C, C_out) linear == 1x1 conv
+        t = _conv1x1_from_linear(g, t, proj_k, _np(p["proj_bias"]), f"re{si}_proj")
+        h_, w_ = gh, gw
+        if scale in (2, 4):
+            rk = _np(p["resample_kernel"])  # (kh, kw, ci, co) blocky transpose
+            w_onnx = g.init(f"re{si}_up_w", rk.transpose(2, 3, 0, 1))  # (ci, co, kh, kw)
+            t = g.op(
+                "ConvTranspose", [t, w_onnx, g.init(f"re{si}_up_b", _np(p["resample_bias"]))],
+                strides=[rk.shape[0], rk.shape[1]], kernel_shape=[rk.shape[0], rk.shape[1]],
+                pads=[0, 0, 0, 0], dilations=[1, 1], group=1,
+            )
+            h_, w_ = gh * rk.shape[0], gw * rk.shape[1]
+        elif scale == 0.5:
+            rk = _np(p["resample_kernel"])
+            t = _conv(g, t, rk, _np(p["resample_bias"]), f"re{si}_down", stride=2, pad=1)
+            h_, w_ = (gh + 2 - rk.shape[0]) // 2 + 1, (gw + 2 - rk.shape[1]) // 2 + 1
+        fk = _np(p["fuse_kernel"])  # 3x3, no bias (reassembly_model.py:135)
+        t = _conv(g, t, fk, None, f"re{si}_fuse", pad=1)
+        maps.append(t)
+        map_shapes.append((fk.shape[-1], h_, w_))
+
+    # Fusion (dpt_neck.py:fusion_forward): top-down RefineNet
+    fusion = model.params["fusion"]
+    x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3")
+    for mi, bi in ((2, 2), (1, 1), (0, 0)):
+        r = _rcu(g, maps[mi], fusion[bi]["res1"], map_shapes[mi], f"fu{bi}_res1")
+        x = g.op("Add", [r, x])
+        x, shp = _upsample_projection(g, x, fusion[bi], map_shapes[mi], f"fu{bi}")
+
+    # Head (dpt_neck.py:head_forward)
+    head = model.params["head"]
+    cin_k = _np(head["conv_in_kernel"])
+    x = _conv(g, x, cin_k, _np(head["conv_in_bias"]), "head_in", pad=1)
+    shp = (cin_k.shape[-1], shp[1], shp[2])
+    out_hw = resize_output_size((shp[1], shp[2]), model.spec["head_upsample"])
+    x = _resize(g, x, out_hw, shp)
+    x = _conv(g, x, _np(head["conv_mid_kernel"]), _np(head["conv_mid_bias"]), "head_mid", pad=1)
+    x = g.op("Relu", [x])
+    x = _conv1x1_from_linear(g, x, _np(head["proj_kernel"]), _np(head["proj_bias"]), "head_proj")
+    x = g.op("Sigmoid" if is_metric else "Relu", [x])
+    x = _reshape(g, x, [1, out_hw[0], out_hw[1]])
+    return x, out_hw
 
 
 def emit_depth_anything_onnx(model, image_hw: tuple[int, int]) -> bytes:
@@ -211,60 +283,79 @@ def emit_depth_anything_onnx(model, image_hw: tuple[int, int]) -> bytes:
                 _layer_norm(g, x, params["encoder"]["outnorm_scale"], params["encoder"]["outnorm_bias"], f"tap{i}_outnorm")
             )
 
-    # Reassembly, readout='ignore' (dpt_neck.py:reassemble_stage)
-    maps = []
-    map_shapes = []
-    for si, (tok, p, scale) in enumerate(zip(stage_tokens, params["reassemble"], REASSEMBLY_SCALES)):
-        t = _slice(g, tok, [1], [_I32MAX], [1])  # drop cls token
-        t = g.op("Transpose", [t], perm=[0, 2, 1])  # (1, C, N)
-        t = _reshape(g, t, [1, c, gh, gw])
-        proj_k = _np(p["proj_kernel"])  # (C, C_out) linear == 1x1 conv
-        t = _conv1x1_from_linear(g, t, proj_k, _np(p["proj_bias"]), f"re{si}_proj")
-        ch = proj_k.shape[-1]
-        h_, w_ = gh, gw
-        if scale in (2, 4):
-            rk = _np(p["resample_kernel"])  # (kh, kw, ci, co) blocky transpose
-            w_onnx = g.init(f"re{si}_up_w", rk.transpose(2, 3, 0, 1))  # (ci, co, kh, kw)
-            t = g.op(
-                "ConvTranspose", [t, w_onnx, g.init(f"re{si}_up_b", _np(p["resample_bias"]))],
-                strides=[rk.shape[0], rk.shape[1]], kernel_shape=[rk.shape[0], rk.shape[1]],
-                pads=[0, 0, 0, 0], dilations=[1, 1], group=1,
-            )
-            ch = rk.shape[-1]
-            h_, w_ = gh * rk.shape[0], gw * rk.shape[1]
-        elif scale == 0.5:
-            rk = _np(p["resample_kernel"])
-            t = _conv(g, t, rk, _np(p["resample_bias"]), f"re{si}_down", stride=2, pad=1)
-            ch = rk.shape[-1]
-            h_, w_ = (gh + 2 - rk.shape[0]) // 2 + 1, (gw + 2 - rk.shape[1]) // 2 + 1
-        fk = _np(p["fuse_kernel"])  # 3x3, no bias (reassembly_model.py:135)
-        t = _conv(g, t, fk, None, f"re{si}_fuse", pad=1)
-        maps.append(t)
-        map_shapes.append((fk.shape[-1], h_, w_))
-
-    # Fusion (dpt_neck.py:fusion_forward): top-down RefineNet
-    fusion = params["fusion"]
-    x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3")
-    for mi, bi in ((2, 2), (1, 1), (0, 0)):
-        r = _rcu(g, maps[mi], fusion[bi]["res1"], map_shapes[mi], f"fu{bi}_res1")
-        x = g.op("Add", [r, x])
-        x, shp = _upsample_projection(g, x, fusion[bi], map_shapes[mi], f"fu{bi}")
-
-    # Head (dpt_neck.py:head_forward)
-    head = params["head"]
-    cin_k = _np(head["conv_in_kernel"])
-    x = _conv(g, x, cin_k, _np(head["conv_in_bias"]), "head_in", pad=1)
-    shp = (cin_k.shape[-1], shp[1], shp[2])
-    out_hw = resize_output_size((shp[1], shp[2]), model.spec["head_upsample"])
-    x = _resize(g, x, out_hw, shp)
-    x = _conv(g, x, _np(head["conv_mid_kernel"]), _np(head["conv_mid_bias"]), "head_mid", pad=1)
-    x = g.op("Relu", [x])
-    x = _conv1x1_from_linear(g, x, _np(head["proj_kernel"]), _np(head["proj_bias"]), "head_proj")
-    x = g.op("Sigmoid" if is_metric else "Relu", [x])
-    x = _reshape(g, x, [1, out_hw[0], out_hw[1]])
+    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="ignore")
     g.add_output(x, (1, out_hw[0], out_hw[1]))
 
     return g.serialize(
         opset=17,
         doc=f"Depth-Anything DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
+    )
+
+
+def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
+    """Build the ONNX ModelProto bytes for a MiDaS-v3.1 BEiT `DPTModel`.
+
+    The per-layer relative-position bias (models/beit.py:compute_bias_stack)
+    is evaluated for this grid at export time and baked as one (1, H, N, N)
+    initializer per block — exactly the tensor the enable_cache path caches,
+    unpadded. Artifact size grows as L*H*N^2 floats (models/beit.py:81)."""
+    from ..models.beit import BEiTConfig, compute_bias_stack
+
+    params = model.params
+    cfg: BEiTConfig = model.spec["encoder_config"]
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+    p_px = model.patch_size_px
+    assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
+    gh, gw = ih // p_px, iw // p_px
+    c = cfg.features
+    heads = cfg.num_heads
+    d = c // heads
+    n = gh * gw + 1
+
+    bias_stack = np.asarray(
+        compute_bias_stack(
+            np.asarray(params["encoder"]["blocks"]["relpos_lut"], np.float32),
+            cfg.base_grid_hw, (gh, gw),
+        ),
+        np.float32,
+    )  # (L, H, N, N)
+
+    g = GraphBuilder("beit_dpt")
+    x = g.add_input("image", (1, 3, ih, iw))
+    x = _conv(g, x, _np(params["patch_embed"]["kernel"]), _np(params["patch_embed"]["bias"]), "patch_embed", stride=p_px)
+    x = _reshape(g, x, [1, c, gh * gw])
+    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (1, N-1, C)
+    x = g.op("Concat", [g.init("cls_token", _np(params["encoder"]["cls_token"]).reshape(1, 1, c)), x], axis=1)
+
+    stacked = params["encoder"]["blocks"]
+    taps = tuple((cfg.num_blocks // 4) * (i + 1) - 1 for i in range(4))
+    stage_tokens = []
+    for i in range(cfg.num_blocks):
+        bp = {k: np.asarray(v)[i] for k, v in stacked.items() if k != "relpos_lut"}
+        h = _layer_norm(g, x, bp["norm1_scale"], bp["norm1_bias"], f"b{i}_ln1")
+        # head-major fused qkv bias with zero k slots (models/beit.py:141-154)
+        qkv_bias = np.concatenate(
+            [
+                _np(bp["q_bias"]).reshape(heads, 1, d),
+                np.zeros((heads, 1, d), np.float32),
+                _np(bp["v_bias"]).reshape(heads, 1, d),
+            ],
+            axis=1,
+        ).reshape(3 * c)
+        bp_attn = dict(bp, qkv_bias=qkv_bias)
+        h = _attention(g, h, bp_attn, n, heads, c, bias=bias_stack[i : i + 1])
+        h = g.op("Mul", [h, g.init(f"b{i}_ls1", _np(bp["ls1"]))])
+        x = g.op("Add", [x, h])
+        h = _layer_norm(g, x, bp["norm2_scale"], bp["norm2_bias"], f"b{i}_ln2")
+        h = _mlp(g, h, bp, is_giant=False)
+        h = g.op("Mul", [h, g.init(f"b{i}_ls2", _np(bp["ls2"]))])
+        x = g.op("Add", [x, h])
+        if i in taps:
+            stage_tokens.append(x)  # no output norm (models/beit.py:183-186)
+
+    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="project")
+    g.add_output(x, (1, out_hw[0], out_hw[1]))
+    return g.serialize(
+        opset=17,
+        doc=f"MiDaS v3.1 BEiT DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
     )

@@ -201,6 +201,8 @@ def evaluate_model(model: dict | bytes, feeds: dict[str, np.ndarray]) -> dict[st
                 raise NotImplementedError(f"Resize mode {mode!r}")
             sizes = ins[3]
             y = _resize_linear_2d(ins[0], (int(sizes[2]), int(sizes[3])), ctm == "align_corners")
+        elif op == "Expand":
+            y = ins[0] * np.ones([int(d) for d in ins[1]], dtype=ins[0].dtype)
         elif op == "Identity":
             y = ins[0]
         elif op == "Constant":

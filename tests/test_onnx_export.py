@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from muggled_dpt_tpu.onnx_export import (
     decode_message,
+    emit_beit_onnx,
     emit_depth_anything_onnx,
     encode_message,
     evaluate_model,
@@ -76,8 +77,8 @@ def test_evaluator_matches_torch_on_torch_produced_graph():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def _export_and_compare(model, image_hw, tol=2e-5):
-    onnx_bytes = emit_depth_anything_onnx(model, image_hw)
+def _export_and_compare(model, image_hw, tol=2e-5, emit=emit_depth_anything_onnx):
+    onnx_bytes = emit(model, image_hw)
     rng = np.random.default_rng(0)
     x = rng.standard_normal((1, 3, *image_hw)).astype(np.float32) * 0.5
     want = np.asarray(model.forward(jnp.asarray(x)), np.float32)
@@ -119,6 +120,30 @@ def test_emitted_giant_swiglu():
 def test_emitted_dav1_last4_taps():
     m = make_depthanythingv1_dpt(64, 2, 6, (8, 16, 32, 64), (8, 8), 16)
     _export_and_compare(m, (112, 112))
+
+
+def test_emitted_beit_matches_jax_forward():
+    """BEiT: relpos bias baked per layer, q/v-only qkv bias, readout-project
+    reassembly, no encoder output norm."""
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16)
+    data = _export_and_compare(m, (96, 96), emit=emit_beit_onnx)
+    graph = decode_message("ModelProto", data)["graph"]
+    ops = [n["op_type"] for n in graph["node"]]
+    assert "Expand" in ops  # readout-project cls broadcast
+    # one baked (1, H, N, N) bias initializer per block
+    biases = [t for t in graph["initializer"] if t["name"].startswith("attn_bias")]
+    assert len(biases) == 8 and biases[0]["dims"] == [1, 4, 37, 37]
+
+
+def test_emitted_beit_nonbase_grid_rescales_lut():
+    # 96x128 -> grid (6, 8): exercises the export-time LUT bilinear rescale
+    # (models/beit.py:compute_bias_stack) on the non-square axis
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16)
+    _export_and_compare(m, (96, 128), emit=emit_beit_onnx)
 
 
 def test_bf16_model_exports_f32_weights():
