@@ -14,8 +14,9 @@ Like the reference's export, the artifact is shape-specialized: export one
 file per input size you serve (reference experiments/README.md:87). Input is
 the normalized (1, 3, H, W) float32 tensor; output is depth (1, H', W').
 
-Scope: the Depth-Anything families (V1/V2/metric/giant). BEiT/SwinV2 export
-goes through the StableHLO path (experiments/export_model.py).
+Scope: all four families — Depth-Anything (V1/V2/metric/giant), MiDaS-v3.1
+BEiT, and MiDaS-v3.1 SwinV2. The StableHLO path (experiments/export_model.py)
+remains available for XLA-native deployment.
 """
 
 import argparse
@@ -30,7 +31,12 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict  # noqa: E402
 from muggled_dpt_tpu.demo_helpers.saving import get_save_folder  # noqa: E402
-from muggled_dpt_tpu.onnx_export import emit_beit_onnx, emit_depth_anything_onnx, evaluate_model  # noqa: E402
+from muggled_dpt_tpu.onnx_export import (  # noqa: E402
+    emit_beit_onnx,
+    emit_depth_anything_onnx,
+    emit_swinv2_onnx,
+    evaluate_model,
+)
 
 
 def main():
@@ -54,10 +60,14 @@ def main():
 
     enc_cfg = model.spec.get("encoder_config")
     family = type(enc_cfg).__name__ if enc_cfg is not None else None
-    emitters = {"DinoV2Config": emit_depth_anything_onnx, "BEiTConfig": emit_beit_onnx}
+    emitters = {
+        "DinoV2Config": emit_depth_anything_onnx,
+        "BEiTConfig": emit_beit_onnx,
+        "SwinV2Config": emit_swinv2_onnx,
+    }
     emit = emitters.get(family)
     if emit is None:
-        raise SystemExit("ONNX export covers Depth-Anything and BEiT; use export_model.py (StableHLO) for SwinV2")
+        raise SystemExit(f"no ONNX emitter for encoder family {family!r}")
 
     side = args.base_size_px or model.default_size_px
     h, w = model.compute_scaled_hw((side, side), side, True)

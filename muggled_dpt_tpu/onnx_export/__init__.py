@@ -11,13 +11,14 @@ User surface: experiments/export_onnx.py (CLI) or:
     onnx_bytes = emit_depth_anything_onnx(model, model.compute_scaled_hw(img.shape[:2]))
 """
 
-from .emit_dpt import emit_beit_onnx, emit_depth_anything_onnx
+from .emit_dpt import emit_beit_onnx, emit_depth_anything_onnx, emit_swinv2_onnx
 from .evaluate import evaluate_model
 from .proto import decode_message, encode_message
 
 __all__ = [
     "emit_beit_onnx",
     "emit_depth_anything_onnx",
+    "emit_swinv2_onnx",
     "evaluate_model",
     "decode_message",
     "encode_message",

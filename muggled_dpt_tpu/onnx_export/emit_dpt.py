@@ -5,12 +5,13 @@ The artifact analog of the reference's `experiments/export_onnx.py`
 pipelines get a runnable `.onnx` of the depth model. The reference gets this
 via torch tracing; here the graph is emitted directly from this repo's
 functional params pytree — every node mirrors the corresponding op in
-`models/{depth_anything,dinov2,beit}.py` / `models/dpt_neck.py` /
+`models/{depth_anything,dinov2,beit,swinv2}.py` / `models/dpt_neck.py` /
 `ops/nn.py`, and CI executes the emitted graph with the in-repo numpy
 evaluator against the JAX f32 forward (tests/test_onnx_export.py).
 
-Scope: the Depth-Anything families (V1 / V2 / V2-metric / SwiGLU giant) and
-MiDaS-v3.1 BEiT. Input is the model's normalized (1, 3, H, W) f32 tensor
+Scope: the Depth-Anything families (V1 / V2 / V2-metric / SwiGLU giant),
+MiDaS-v3.1 BEiT, and MiDaS-v3.1 SwinV2. Input is the model's normalized
+(1, 3, H, W) f32 tensor
 (the `DPTModel.forward` contract); output is depth (1, H', W'). Shapes are
 fixed at export time, matching this repo's jit-per-shape execution model (use
 `DPTModel.prepare_image_bgr` or replicate the family normalization for
@@ -135,12 +136,43 @@ def _mlp(g: GraphBuilder, x: str, bp: dict, is_giant: bool) -> str:
     return _linear(g, _gelu_erf(g, h), _np(bp["fc2_kernel"]), _np(bp["fc2_bias"]), "fc2")
 
 
-def _layer_norm(g: GraphBuilder, x: str, scale, bias, hint: str) -> str:
+def _layer_norm(g: GraphBuilder, x: str, scale, bias, hint: str, eps: float = 1e-6) -> str:
+    """eps defaults to the ViT families' 1e-6 (ops/nn.py:layer_norm); SwinV2
+    passes torch's default 1e-5 (models/swinv2.py:SWIN_LN_EPS)."""
     return g.op(
         "LayerNormalization",
         [x, g.init(hint + "_s", _np(scale)), g.init(hint + "_b", _np(bias))],
-        axis=-1, epsilon=1e-6,
+        axis=-1, epsilon=float(eps),
     )
+
+
+def _slice_step(g: GraphBuilder, x: str, starts, ends, axes, steps) -> str:
+    i64 = lambda hint, v: g.init(hint, np.asarray(v, np.int64))
+    return g.op(
+        "Slice",
+        [x, i64("starts", starts), i64("ends", ends), i64("axes", axes), i64("steps", steps)],
+    )
+
+
+def _roll_axis(g: GraphBuilder, x: str, shift: int, size: int, axis: int) -> str:
+    """jnp.roll on one axis as Slice+Concat (ONNX has no Roll). Positive shift
+    moves content toward higher indices, matching jnp.roll / torch.roll
+    (models/swinv2.py:window_attention cyclic shifting)."""
+    s = shift % size
+    if s == 0:
+        return x
+    lead = _slice(g, x, [size - s], [_I32MAX], [axis])
+    tail = _slice(g, x, [0], [size - s], [axis])
+    return g.op("Concat", [lead, tail], axis=axis)
+
+
+def _l2_normalize(g: GraphBuilder, x: str, hint: str) -> str:
+    """x / sqrt(sum(x^2, -1) + 1e-12) — the cosine-attention q/k normalize
+    (models/swinv2.py:209-212)."""
+    sq = g.op("Mul", [x, x])
+    ss = g.op("ReduceSum", [sq, g.init(hint + "_axes", np.asarray([-1], np.int64))], keepdims=1)
+    denom = g.op("Sqrt", [g.op("Add", [ss, g.init(hint + "_eps", np.float32(1e-12))])])
+    return g.op("Div", [x, denom])
 
 
 def _rcu(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) -> str:
@@ -166,7 +198,6 @@ def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, r
     """Reassembly -> fusion -> head, shared across families
     (models/dpt_neck.py). Returns (output name, depth (h, w))."""
     params = model.params
-    is_metric = bool(model.config.get("is_metric", False))
 
     maps = []
     map_shapes = []
@@ -205,7 +236,13 @@ def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, r
         maps.append(t)
         map_shapes.append((fk.shape[-1], h_, w_))
 
-    # Fusion (dpt_neck.py:fusion_forward): top-down RefineNet
+    return _emit_fusion_head(g, model, maps, map_shapes)
+
+
+def _emit_fusion_head(g: GraphBuilder, model, maps, map_shapes) -> tuple[str, tuple[int, int]]:
+    """Top-down fusion + monocular head (dpt_neck.py:fusion_forward,
+    head_forward). maps are NCHW reassembly outputs, finest first."""
+    is_metric = bool(model.config.get("is_metric", False))
     fusion = model.params["fusion"]
     x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3")
     for mi, bi in ((2, 2), (1, 1), (0, 0)):
@@ -358,4 +395,147 @@ def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
     return g.serialize(
         opset=17,
         doc=f"MiDaS v3.1 BEiT DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
+    )
+
+
+def _swin_window_attention(g: GraphBuilder, x: str, bp: dict, heads: int, grid_hw, window_hw, shift_hw, shifting: bool, cpb: np.ndarray, mask, hint: str) -> str:
+    """One windowed scaled-cosine attention op on a (1, gh, gw, C) grid tensor
+    (models/swinv2.py:window_attention; reference
+    v31_swinv2/components/windowed_attention.py:65-123). cpb is the block's
+    (H, A, A) continuous position bias evaluated at export time; mask the
+    (nW, A, A) 0/-100 shift mask (or None)."""
+    gh, gw = grid_hw
+    win_h, win_w = window_hw
+    shift_h, shift_w = shift_hw
+    c = int(np.asarray(bp["qkv_kernel"]).shape[0])
+    d = c // heads
+    nwy, nwx = gh // win_h, gw // win_w
+    nw, area = nwy * nwx, win_h * win_w
+
+    if shifting:
+        x = _roll_axis(g, x, -shift_h, gh, 1)
+        x = _roll_axis(g, x, -shift_w, gw, 2)
+
+    # partition into (nW, A, C); batch is fixed at 1 so it folds into nW
+    x = _reshape(g, x, [1, nwy, win_h, nwx, win_w, c])
+    x = g.op("Transpose", [x], perm=[0, 1, 3, 2, 4, 5])
+    x = _reshape(g, x, [nw, area, c])
+
+    # fused qkv, (3, H, d)-major columns; q/v bias added post-split
+    # (models/swinv2.py:201-204)
+    qkv = _linear(g, x, _np(bp["qkv_kernel"]), None, hint + "_qkv")
+    qkv = _reshape(g, qkv, [nw, area, 3, heads, d])
+    qkv = g.op("Transpose", [qkv], perm=[2, 0, 3, 1, 4])  # (3, nW, H, A, d)
+    parts = [_reshape(g, _slice(g, qkv, [i], [i + 1], [0]), [nw, heads, area, d]) for i in range(3)]
+    q, k, v = parts
+    q = g.op("Add", [q, g.init(hint + "_qb", _np(bp["q_bias"]).reshape(heads, 1, d))])
+    v = g.op("Add", [v, g.init(hint + "_vb", _np(bp["v_bias"]).reshape(heads, 1, d))])
+
+    # cosine attention: normalize(q) @ normalize(k)^T * logit_scale
+    # (logit_scale pre-clamped+exp'd at load, checkpoints/swinv2.py:67-69)
+    qn = _l2_normalize(g, q, hint + "_qn")
+    kn = _l2_normalize(g, k, hint + "_kn")
+    kt = g.op("Transpose", [kn], perm=[0, 1, 3, 2])
+    logits = g.op("MatMul", [qn, kt])  # (nW, H, A, A)
+    logits = g.op("Mul", [logits, g.init(hint + "_ls", _np(bp["logit_scale"]).reshape(heads, 1, 1))])
+    logits = g.op("Add", [logits, g.init(hint + "_cpb", np.asarray(cpb, np.float32))])
+    if mask is not None:
+        logits = g.op("Add", [logits, g.init(hint + "_mask", np.asarray(mask, np.float32)[:, None])])
+    weights = g.op("Softmax", [logits], axis=-1)
+    out = g.op("MatMul", [weights, v])  # (nW, H, A, d)
+    out = g.op("Transpose", [out], perm=[0, 2, 1, 3])
+    out = _reshape(g, out, [nw, area, c])
+    out = _linear(g, out, _np(bp["proj_kernel"]), _np(bp["proj_bias"]), hint + "_proj")
+
+    # reverse partition (+ reverse shift)
+    out = _reshape(g, out, [1, nwy, nwx, win_h, win_w, c])
+    out = g.op("Transpose", [out], perm=[0, 1, 3, 2, 4, 5])
+    out = _reshape(g, out, [1, gh, gw, c])
+    if shifting:
+        out = _roll_axis(g, out, shift_h, gh, 1)
+        out = _roll_axis(g, out, shift_w, gw, 2)
+    return out
+
+
+def emit_swinv2_onnx(model, image_hw: tuple[int, int]) -> bytes:
+    """Build the ONNX ModelProto bytes for a MiDaS-v3.1 SwinV2 `DPTModel`.
+
+    Everything the JAX forward derives per grid at trace time — window plan,
+    cyclic-shift masks, and each block's CPB relative-position bias
+    (models/swinv2.py:window_plan/shift_mask_np/cpb_bias) — is evaluated for
+    this grid at export time and baked as initializers, exactly the tensors
+    the reference keeps in its GridCaches
+    (v31_swinv2/components/relative_positional_encoder.py:49-51)."""
+    from ..models.swinv2 import SWIN_LN_EPS, SwinV2Config, cpb_bias, shift_mask_np, window_plan
+
+    params = model.params
+    cfg: SwinV2Config = model.spec["encoder_config"]
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+    p_px = model.patch_size_px
+    tiling = 8 * p_px  # 3 internal 2x downscales (swinv2_family.py:81)
+    assert ih % tiling == 0 and iw % tiling == 0, "image_hw must be tiling-aligned (compute_scaled_hw)"
+    gh, gw = ih // p_px, iw // p_px
+
+    g = GraphBuilder("swinv2_dpt")
+    x = g.add_input("image", (1, 3, ih, iw))
+
+    # patch embed: 4px conv + post-projection LayerNorm (swinv2_family.py:30-33)
+    pe = params["patch_embed"]
+    x = _conv(g, x, _np(pe["kernel"]), _np(pe["bias"]), "patch_embed", stride=p_px)
+    x = g.op("Transpose", [x], perm=[0, 2, 3, 1])  # grid layout (1, gh, gw, C)
+    x = _layer_norm(g, x, pe["norm_scale"], pe["norm_bias"], "pe_norm", eps=SWIN_LN_EPS)
+
+    enc = params["encoder"]
+    maps = []
+    map_shapes = []
+    for s in range(4):
+        if s > 0:
+            # patch merge: 2x2 TL/BL/TR/BR decimate-concat -> Linear (no bias)
+            # -> LayerNorm (models/swinv2.py:patch_merge)
+            mp = enc["merges"][s - 1]
+            corners = [
+                _slice_step(g, x, [hs, ws], [_I32MAX, _I32MAX], [1, 2], [2, 2])
+                for hs, ws in ((0, 0), (1, 0), (0, 1), (1, 1))
+            ]
+            x = g.op("Concat", corners, axis=3)
+            x = _linear(g, x, _np(mp["reduction_kernel"]), None, f"s{s}_merge")
+            x = _layer_norm(g, x, mp["norm_scale"], mp["norm_bias"], f"s{s}_merge_norm", eps=SWIN_LN_EPS)
+            gh, gw = gh // 2, gw // 2
+
+        heads = cfg.heads_per_stage[s]
+        pws = cfg.pretrained_window_sizes[s]
+        window_hw, shift_hw = window_plan((gh, gw), cfg.window_size_hw)
+        can_shift = shift_hw != (0, 0)
+        mask = shift_mask_np((gh, gw), window_hw, shift_hw) if can_shift else None
+        stage_pairs = enc["stages"][s]
+
+        for i in range(cfg.layers_per_stage[s] // 2):
+            for key, is_shift in (("b0", False), ("b1", True)):
+                bp = {k: np.asarray(v)[i] for k, v in stage_pairs[key].items()}
+                cpb = np.asarray(cpb_bias(bp, window_hw, pws), np.float32)
+                hint = f"s{s}p{i}{key}"
+                shifting = is_shift and can_shift
+                h = _swin_window_attention(
+                    g, x, bp, heads, (gh, gw), window_hw, shift_hw, shifting,
+                    cpb, mask if shifting else None, hint,
+                )
+                # post-norm block (models/swinv2.py:block_forward)
+                h = _layer_norm(g, h, bp["norm1_scale"], bp["norm1_bias"], hint + "_ln1", eps=SWIN_LN_EPS)
+                x = g.op("Add", [x, h])
+                h = _mlp(g, x, bp, is_giant=False)
+                h = _layer_norm(g, h, bp["norm2_scale"], bp["norm2_bias"], hint + "_ln2", eps=SWIN_LN_EPS)
+                x = g.op("Add", [x, h])
+
+        # reassembly: unflatten + 3x3 fuse conv only, no readout/resample
+        # (swinv2_family.py:_neck; reference v31_swinv2/reassembly_model.py:49-52)
+        fk = _np(params["reassemble"][s]["fuse_kernel"])
+        xm = g.op("Transpose", [x], perm=[0, 3, 1, 2])  # NCHW
+        maps.append(_conv(g, xm, fk, None, f"s{s}_fuse", pad=1))
+        map_shapes.append((fk.shape[-1], gh, gw))
+
+    x, out_hw = _emit_fusion_head(g, model, maps, map_shapes)
+    g.add_output(x, (1, out_hw[0], out_hw[1]))
+    return g.serialize(
+        opset=17,
+        doc=f"MiDaS v3.1 SwinV2 DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
     )

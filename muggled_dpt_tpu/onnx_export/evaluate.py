@@ -177,6 +177,14 @@ def evaluate_model(model: dict | bytes, feeds: dict[str, np.ndarray]) -> dict[st
             y = np.maximum(ins[0], 0)
         elif op == "Sigmoid":
             y = 1.0 / (1.0 + np.exp(-ins[0]))
+        elif op == "Sqrt":
+            y = np.sqrt(ins[0])
+        elif op == "ReduceSum":
+            axes = ins[1] if len(ins) > 1 and ins[1] is not None else None
+            keep = bool(a.get("keepdims", 1))
+            y = ins[0].sum(
+                axis=None if axes is None else tuple(int(v) for v in axes), keepdims=keep
+            )
         elif op == "Erf":
             y = _erf(ins[0])
         elif op == "Softmax":

@@ -20,6 +20,7 @@ from muggled_dpt_tpu.onnx_export import (
     decode_message,
     emit_beit_onnx,
     emit_depth_anything_onnx,
+    emit_swinv2_onnx,
     encode_message,
     evaluate_model,
 )
@@ -144,6 +145,43 @@ def test_emitted_beit_nonbase_grid_rescales_lut():
 
     m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16)
     _export_and_compare(m, (96, 128), emit=emit_beit_onnx)
+
+
+def _tiny_swinv2():
+    from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
+
+    return make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
+
+
+def test_emitted_swinv2_matches_jax_forward():
+    """SwinV2: cyclic-shift rolls as Slice+Concat, baked 0/-100 shift masks,
+    cosine attention (l2 normalize + logit_scale), per-block baked CPB bias,
+    patch-merge strided slices, eps=1e-5 LayerNorms."""
+    m = _tiny_swinv2()
+    data = _export_and_compare(m, (64, 64), emit=emit_swinv2_onnx)
+    graph = decode_message("ModelProto", data)["graph"]
+    inits = graph["initializer"]
+    # one baked CPB bias per block (4 stages x 2 blocks)
+    cpbs = [t for t in inits if "_cpb" in t["name"]]
+    assert len(cpbs) == 8
+    # stage0 grid 16 / win 4 -> shift 2: b1 blocks carry baked shift masks
+    masks = [t for t in inits if "_mask" in t["name"]]
+    assert masks and all(t["dims"][1] == 1 for t in masks)  # (nW, 1, A, A)
+    # post-norm Swin LNs declare torch's default eps, not the ViT 1e-6
+    ln_eps = {
+        a["f"]
+        for n in graph["node"]
+        if n["op_type"] == "LayerNormalization"
+        for a in n.get("attribute", [])
+        if a["name"] == "epsilon"
+    }
+    assert len(ln_eps) == 1 and next(iter(ln_eps)) == pytest.approx(1e-5)
+
+
+def test_emitted_swinv2_nonsquare_window_replan():
+    # 96x64 -> grid (24, 16): stage2 grid (6, 4) forces the nearest-divisor
+    # window replan to a non-square (6, 4) window (models/swinv2.py:window_plan)
+    _export_and_compare(_tiny_swinv2(), (96, 64), emit=emit_swinv2_onnx)
 
 
 def test_bf16_model_exports_f32_weights():
