@@ -35,6 +35,8 @@ class DPTModel:
         self.config = dict(config_dict)
         self.spec = family_spec
         self._dtype = jnp.dtype(dtype)
+        if self._dtype == jnp.bfloat16:
+            params = _with_fused_reassembly(params)
         self.params = jax.tree_util.tree_map_with_path(
             lambda path, a: jnp.asarray(a, dtype=self._cast_dtype(a, path)), params
         )
@@ -267,6 +269,31 @@ class DPTModel:
         else:
             raise NotImplementedError("int8 tier: unrecognized encoder parameter layout")
         return DPTModel(params, self.config, self.spec, dtype=self._dtype)
+
+
+def _with_fused_reassembly(params):
+    """bf16 serving precompute: collapse each reassembly stage's
+    conv-transpose(k=s) + 3x3 fuse pair into phase-decomposed matmul weights
+    (ops/nn.py:fuse_transpose_conv3x3_weights). Contracted once in f32 at
+    build; cast to the compute dtype with the rest of the pytree. Stages are
+    recognized by the s x s resample kernel (s in {2,4}); already-fused params
+    (DPTModel.to / quantize copies) pass through unchanged."""
+    stages = params.get("reassemble") if isinstance(params, dict) else None
+    if not stages:
+        return params
+    from .ops.nn import fuse_transpose_conv3x3_weights
+
+    new_stages = []
+    changed = False
+    for p in stages:
+        rk = p.get("resample_kernel")
+        if rk is not None and "fused" not in p and np.shape(rk)[0] in (2, 4) and np.shape(rk)[0] == np.shape(rk)[1]:
+            p = {**p, "fused": fuse_transpose_conv3x3_weights(rk, p["resample_bias"], p["fuse_kernel"])}
+            changed = True
+        new_stages.append(p)
+    if not changed:
+        return params
+    return {**params, "reassemble": type(stages)(new_stages) if not isinstance(stages, list) else new_stages}
 
 
 def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5) -> bool:

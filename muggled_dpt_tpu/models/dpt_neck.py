@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.nn import conv2d, conv3x3_shiftsum, conv_transpose_blocky, gelu, linear
+from ..ops.nn import conv2d, conv3x3_shiftsum, conv_transpose_blocky, conv_transpose_fuse_phase, gelu, linear
 from ..ops.resize import resize_2d, resize_output_size
 import jax
 
@@ -47,6 +47,12 @@ def reassemble_stage(tokens, patch_grid_hw, p, scale, readout: str):
     # projection (1x1 conv == linear over channels) then spatial resample
     x = linear(x, p["proj_kernel"], p["proj_bias"])
     if scale in (2, 4):
+        if "fused" in p and x.dtype == jnp.bfloat16:
+            # bf16 serving: the conv-transpose + 3x3 fuse pair collapses into
+            # phase-decomposed matmuls at input resolution (ops/nn.py:
+            # fuse_transpose_conv3x3_weights) — same math, ~3-6x fewer FLOPs.
+            # f32 parity mode keeps the dense ops (bit-faithful summation order).
+            return conv_transpose_fuse_phase(x, p["fused"], int(scale))
         x = conv_transpose_blocky(x, p["resample_kernel"], p["resample_bias"])
     elif scale == 0.5:
         x = conv2d(x, p["resample_kernel"], p["resample_bias"], stride=2, padding=1)

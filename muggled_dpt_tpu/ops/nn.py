@@ -238,6 +238,104 @@ def conv_transpose_blocky(x, kernel, bias=None):
     return y
 
 
+def _phase_support(s: int, u: int):
+    """Input-cell offsets: phase rows a whose 3-tap fuse window touches input
+    cell offset u. For upsample factor s, output row p = s*i + a reads
+    upsampled rows p-1..p+1, i.e. input cells (a+dp)//s for dp in -1..1."""
+    return [a for a in range(s) if any((a + dp) // s == u for dp in (-1, 0, 1))]
+
+
+def fuse_transpose_conv3x3_weights(resample_kernel, resample_bias, fuse_kernel):
+    """Precompute phase-decomposed weights for the reassembly pair
+    `conv_transpose_blocky(k=s)` -> `3x3 SAME conv (no bias)`
+    (reference reassembly_model.py:244-270 then :135).
+
+    The composite is exact: output pixel (s*i+a, s*j+b) of the fuse conv only
+    sees upsampled pixels from input cells (i+u, j+v) with u,v in {-1,0,1}
+    (and at most 2 distinct u per phase a), so the pair collapses to one
+    small-support conv per output phase. That cuts the x4 stage's FLOPs ~5.8x
+    (the 3x3 conv no longer runs at 4x spatial resolution) — the reason the
+    reassembly was the ViT-Giant's second-largest component.
+
+    Returns a dict: 't{u+1}{v+1}' -> (ci, P_uv*co) matmul weights (phases in
+    a-major order per `_phase_support`), plus 'tap_bias' (3,3,co) carrying the
+    resample bias pushed through the fuse taps (border-exact via a mask conv).
+
+    Contracted host-side in numpy f32 (one-time at model build): eager jnp
+    here would dispatch hundreds of small device ops, which is pathologically
+    slow over a relayed-TPU link, and the s^2*9 distinct (kt @ fk) products
+    are a few seconds of BLAS even at ViT-Giant width.
+    """
+    import numpy as np
+
+    kt = np.asarray(resample_kernel, np.float32)
+    rb = np.asarray(resample_bias, np.float32)
+    fk = np.asarray(fuse_kernel, np.float32)
+    s, _, ci, cr = kt.shape
+    co = fk.shape[-1]
+    # memoized distinct products P[a', b', dp, dq] = kt[a',b'] @ fk[dp,dq]
+    # (phases share products; at most s^2 * 9 matmuls total)
+    prod = {}
+    fused = {}
+    for u in (-1, 0, 1):
+        rows = _phase_support(s, u)
+        for v in (-1, 0, 1):
+            cols = _phase_support(s, v)
+            if not rows or not cols:
+                continue
+            es = []
+            for a in rows:
+                for b in cols:
+                    e = None
+                    for dp in (-1, 0, 1):
+                        if (a + dp) // s != u:
+                            continue
+                        for dq in (-1, 0, 1):
+                            if (b + dq) // s != v:
+                                continue
+                            key = ((a + dp) % s, (b + dq) % s, dp, dq)
+                            if prod.get(key) is None:
+                                prod[key] = kt[key[0], key[1]] @ fk[dp + 1, dq + 1]
+                            e = prod[key] if e is None else e + prod[key]
+                    es.append(e)  # (ci, co)
+            fused[f"t{u + 1}{v + 1}"] = np.stack(es, axis=1).reshape(ci, len(es) * co)
+    fused["tap_bias"] = np.einsum("r,pqro->pqo", rb, fk)
+    return fused
+
+
+def conv_transpose_fuse_phase(x, fused, s: int):
+    """Apply the phase-decomposed fused resample+fuse weights (see
+    `fuse_transpose_conv3x3_weights`). x: (B, h, w, ci) -> (B, s*h, s*w, co).
+    Bit-equivalent to the dense pair modulo summation reassociation; used on
+    the bf16 serving path only (f32 parity mode keeps the dense ops)."""
+    b, h, w, ci = x.shape
+    co = fused["tap_bias"].shape[-1]
+    dt = x.dtype
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    contrib = {}
+    for u in (-1, 0, 1):
+        rows = _phase_support(s, u)
+        for v in (-1, 0, 1):
+            cols = _phase_support(s, v)
+            key = f"t{u + 1}{v + 1}"
+            if key not in fused:
+                continue
+            xs = lax.slice(padded, (0, 1 + u, 1 + v, 0), (b, 1 + u + h, 1 + v + w, ci))
+            y = (xs.reshape(b, h * w, ci) @ fused[key].astype(dt)).reshape(b, h, w, len(rows) * len(cols), co)
+            for i, a in enumerate(rows):
+                for j, bb in enumerate(cols):
+                    t = y[:, :, :, i * len(cols) + j, :]
+                    prev = contrib.get((a, bb))
+                    contrib[(a, bb)] = t if prev is None else prev + t
+    out = jnp.stack([contrib[(a, bb)] for a in range(s) for bb in range(s)], axis=3)
+    out = out.reshape(b, h, w, s, s, co).transpose(0, 1, 3, 2, 4, 5).reshape(b, s * h, s * w, co)
+    # resample-bias contribution through the fuse taps: constant in the
+    # interior, truncated at borders exactly like the dense pair's zero pad
+    ones = jnp.ones((1, s * h, s * w, 1), dt)
+    bias_map = conv2d(ones, fused["tap_bias"][:, :, None, :], padding=1)
+    return out + bias_map
+
+
 def patchify_embed(image_nhwc, kernel, bias=None):
     """Patch embedding: stride==kernel conv expressed as space-to-depth matmul
     (reference v2_depthanything/patch_embed.py:56-62,92-98).
