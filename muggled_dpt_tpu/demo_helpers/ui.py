@@ -2,12 +2,14 @@
 
 Plays the role of the reference's vendored ~12k-LoC 'toadui' package
 (demo_helpers/toadui/): window + keypress registry, vertical/horizontal
-stacking layout, sliders, toggle/press buttons, a colormap selector bar
-(including a custom spectral map), text drawing, hover readouts + draggable
-markers on the image panel (toadui/overlays.py), line plots
-(toadui/plots.py) and a video playback bar (toadui/video.py) — implemented
-from scratch and sized to what the demo apps actually use. Model-agnostic:
-numpy/cv2 only."""
+stacking layout, sliders, toggle/press buttons, a button carousel, a
+colormap selector bar (including a custom spectral map), text drawing,
+hover readouts + draggable markers, a composable overlay family on the image
+panel — text/rectangle/polygon/mask/crosshair overlays plus point-click,
+box-select (the crop-box interaction core) and grid-select pickers
+(toadui/overlays.py, toadui/buttons.py) — line plots (toadui/plots.py) and a
+video playback bar (toadui/video.py) — implemented from scratch and sized to
+what the demo apps actually use. Model-agnostic: numpy/cv2 only."""
 
 from __future__ import annotations
 
@@ -283,11 +285,372 @@ class DraggableMarker:
         return changed, self.xy_norm
 
 
+class Overlay:
+    """Composable drawing/interaction layer for ImageDisplay (the reference's
+    toadui/overlays.py BaseOverlay family). Attach with
+    ImageDisplay.add_overlay(); draw() receives the render-size BGR frame
+    (already a private copy) and mouse hooks receive normalized coordinates."""
+
+    enabled = True
+
+    def draw(self, frame: np.ndarray, wh: tuple[int, int]) -> None:
+        pass
+
+    def on_mouse(self, xy_norm, event: int, flags: int = 0):
+        pass
+
+    def on_mouse_elsewhere(self):
+        pass
+
+    def wants_mouse(self) -> bool:
+        return False
+
+
+class TextOverlay(Overlay):
+    """Anchored text on the image panel (reference toadui TextOverlay):
+    static labels, scale readouts, etc. set() accepts a string or a list of
+    lines; anchor is one of topleft/topright/bottomleft/bottomright/center."""
+
+    def __init__(self, text="", anchor="topleft", scale=0.45, color=_FG, bg_color=(25, 25, 25), margin=8):
+        self._lines = []
+        self.anchor, self.scale, self.color, self.bg_color, self.margin = anchor, scale, color, bg_color, margin
+        self.set(text)
+
+    def set(self, text):
+        if text is None:
+            text = ""
+        self._lines = list(text) if isinstance(text, (list, tuple)) else str(text).split("\n")
+        self._lines = [ln for ln in self._lines if ln != ""]
+        return self
+
+    def draw(self, frame, wh):
+        if not self._lines:
+            return
+        w, h = wh
+        td = TextDrawer(self.scale, color=self.color)
+        sizes = [td.size(ln) for ln in self._lines]
+        bw = max(s[0] for s in sizes)
+        line_h = max(s[1] for s in sizes) + 6
+        bh = line_h * len(self._lines)
+        m = self.margin
+        x0 = {"topleft": m, "bottomleft": m, "topright": w - bw - m, "bottomright": w - bw - m}.get(
+            self.anchor, (w - bw) // 2
+        )
+        y0 = {"topleft": m, "topright": m, "bottomleft": h - bh - m, "bottomright": h - bh - m}.get(
+            self.anchor, (h - bh) // 2
+        )
+        if self.bg_color is not None:
+            cv2.rectangle(frame, (x0 - 4, y0 - 3), (x0 + bw + 4, y0 + bh + 3), self.bg_color, -1)
+        for i, ln in enumerate(self._lines):
+            td.draw(frame, ln, (x0, y0 + i * line_h))
+
+
+class RectangleOverlay(Overlay):
+    """Draws normalized ((x1,y1),(x2,y2)) boxes with a contrast outline
+    (reference toadui DrawRectangleOverlay)."""
+
+    def __init__(self, color=(0, 255, 255), thickness=1, bg_color=(0, 0, 0)):
+        self.color, self.thickness, self.bg_color = color, thickness, bg_color
+        self._boxes = []
+
+    def set_boxes(self, xy1xy2_norm_list):
+        self._boxes = [((float(x1), float(y1)), (float(x2), float(y2))) for (x1, y1), (x2, y2) in xy1xy2_norm_list]
+        return self
+
+    def draw(self, frame, wh):
+        w, h = wh
+        for (x1, y1), (x2, y2) in self._boxes:
+            p1, p2 = (int(x1 * w), int(y1 * h)), (int(x2 * w), int(y2 * h))
+            if self.bg_color is not None:
+                cv2.rectangle(frame, p1, p2, self.bg_color, self.thickness + 1)
+            cv2.rectangle(frame, p1, p2, self.color, self.thickness)
+
+
+class PolygonsOverlay(Overlay):
+    """Draws normalized polygons, optionally alpha-filled (reference toadui
+    DrawPolygonsOverlay / DrawOutlineOverlay)."""
+
+    def __init__(self, color=(80, 255, 80), thickness=1, closed=True, fill_alpha=0.0):
+        self.color, self.thickness, self.closed, self.fill_alpha = color, thickness, closed, fill_alpha
+        self._polys = []
+
+    def set_polygons(self, polygons_norm):
+        self._polys = [np.asarray(p, np.float32).reshape(-1, 2) for p in polygons_norm]
+        return self
+
+    def draw(self, frame, wh):
+        if not self._polys:
+            return
+        w, h = wh
+        pts = [np.round(p * (w, h)).astype(np.int32) for p in self._polys]
+        if self.fill_alpha > 0:
+            filled = frame.copy()
+            cv2.fillPoly(filled, pts, self.color)
+            cv2.addWeighted(filled, self.fill_alpha, frame, 1 - self.fill_alpha, 0, dst=frame)
+        cv2.polylines(frame, pts, self.closed, self.color, self.thickness, cv2.LINE_AA)
+
+
+class MaskOverlay(Overlay):
+    """Tints the panel where a binary/uint8 mask is set (reference toadui
+    DrawMaskOverlay); the mask is resized (nearest) to the render size."""
+
+    def __init__(self, color=(0, 0, 255), alpha=0.4):
+        self.color, self.alpha = color, alpha
+        self._mask = None
+
+    def set_mask(self, mask_hw):
+        self._mask = None if mask_hw is None else (np.asarray(mask_hw) > 0).astype(np.uint8)
+        return self
+
+    def draw(self, frame, wh):
+        if self._mask is None or not self._mask.any():
+            return
+        w, h = wh
+        m = cv2.resize(self._mask, (w, h), interpolation=cv2.INTER_NEAREST).astype(bool)
+        tint = frame[m].astype(np.float32) * (1 - self.alpha) + np.float32(self.color) * self.alpha
+        frame[m] = tint.astype(np.uint8)
+
+
+class CrosshairOverlay(Overlay):
+    """Full-span crosshair lines following the hover position (or pinned via
+    set()), with an optional coordinate readout (reference toadui crosshair
+    overlays)."""
+
+    def __init__(self, color=(200, 200, 200), show_label=True):
+        self.color, self.show_label = color, show_label
+        self._xy = None
+        self._pinned = False
+
+    def set(self, xy_norm):
+        self._xy = None if xy_norm is None else (float(xy_norm[0]), float(xy_norm[1]))
+        self._pinned = xy_norm is not None
+        return self
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        if not self._pinned:
+            self._xy = xy_norm
+
+    def on_mouse_elsewhere(self):
+        if not self._pinned:
+            self._xy = None
+
+    def draw(self, frame, wh):
+        if self._xy is None:
+            return
+        w, h = wh
+        x, y = int(self._xy[0] * w), int(self._xy[1] * h)
+        cv2.line(frame, (0, y), (w, y), self.color, 1, cv2.LINE_AA)
+        cv2.line(frame, (x, 0), (x, h), self.color, 1, cv2.LINE_AA)
+        if self.show_label:
+            TextDrawer(0.38, color=self.color).draw(frame, f"({self._xy[0]:.3f}, {self._xy[1]:.3f})", (min(x + 6, w - 90), min(y + 4, h - 16)))
+
+
+class PointClickOverlay(Overlay):
+    """Collects clicked points: click replaces the newest point, shift-click
+    appends, right-click clears (reference toadui PointClickOverlay).
+    read() -> (changed, tuple of normalized points)."""
+
+    def __init__(self, color=(80, 255, 255), max_points=None):
+        self.color = color
+        self.max_points = max_points
+        self._points: list[tuple[float, float]] = []
+        self._changed = False
+
+    def clear(self):
+        self._changed = self._changed or bool(self._points)
+        self._points = []
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, tuple(self._points)
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            if not (flags & cv2.EVENT_FLAG_SHIFTKEY) and self._points:
+                self._points.pop()
+            self._points.append((float(np.clip(xy_norm[0], 0, 1)), float(np.clip(xy_norm[1], 0, 1))))
+            if self.max_points is not None and len(self._points) > self.max_points:
+                self._points.pop(0)
+            self._changed = True
+        elif event == cv2.EVENT_RBUTTONDOWN:
+            self.clear()
+
+    def draw(self, frame, wh):
+        w, h = wh
+        for px, py in self._points:
+            cv2.drawMarker(frame, (int(px * w), int(py * h)), self.color, cv2.MARKER_TILTED_CROSS, 12, 2)
+
+
+class BoxSelectOverlay(Overlay):
+    """Drag-to-select boxes — the crop-box widget family's interaction core
+    (reference toadui BoxSelectOverlay / EditBoxOverlay): drag draws an
+    in-progress box; release commits it; a plain new drag replaces the newest
+    box while shift-drag adds another; right-click clears. read() ->
+    (changed, tuple of ((x1,y1),(x2,y2)) normalized, top-left/bottom-right
+    ordered)."""
+
+    MIN_SIZE_NORM = 0.005
+
+    def __init__(self, color=(0, 255, 255), thickness=1, bg_color=(0, 0, 0)):
+        self._painter = RectangleOverlay(color, thickness, bg_color)
+        self._boxes: list[tuple[tuple[float, float], tuple[float, float]]] = []
+        self._inprog = None
+        self._changed = False
+
+    def clear(self, flag_change: bool = True):
+        self._changed = self._changed or (flag_change and (bool(self._boxes) or self._inprog is not None))
+        self._boxes = []
+        self._inprog = None
+        return self
+
+    @staticmethod
+    def _tlbr(p1, p2):
+        (x1, y1), (x2, y2) = p1, p2
+        return ((min(x1, x2), min(y1, y2)), (max(x1, x2), max(y1, y2)))
+
+    def _all_boxes(self):
+        boxes = list(self._boxes)
+        if self._inprog is not None:
+            tl, br = self._tlbr(*self._inprog)
+            if br[0] - tl[0] > self.MIN_SIZE_NORM and br[1] - tl[1] > self.MIN_SIZE_NORM:
+                boxes.append((tl, br))
+        return boxes
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, tuple(self._all_boxes())
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        xy = (float(np.clip(xy_norm[0], 0, 1)), float(np.clip(xy_norm[1], 0, 1)))
+        if event == cv2.EVENT_LBUTTONDOWN:
+            if not (flags & cv2.EVENT_FLAG_SHIFTKEY) and self._boxes:
+                self._boxes.pop()
+            self._inprog = [xy, xy]
+            self._changed = True
+        elif event == cv2.EVENT_MOUSEMOVE and self._inprog is not None:
+            self._inprog[1] = xy
+            self._changed = True
+        elif event == cv2.EVENT_LBUTTONUP and self._inprog is not None:
+            self._inprog[1] = xy  # the release position finishes the box
+            tl, br = self._tlbr(*self._inprog)
+            if br[0] - tl[0] > self.MIN_SIZE_NORM and br[1] - tl[1] > self.MIN_SIZE_NORM:
+                self._boxes.append((tl, br))
+            self._inprog = None
+            self._changed = True
+        elif event == cv2.EVENT_RBUTTONDOWN:
+            self.clear()
+
+    def wants_mouse(self):
+        return self._inprog is not None
+
+    def draw(self, frame, wh):
+        self._painter.set_boxes(self._all_boxes())
+        self._painter.draw(frame, wh)
+
+
+class GridSelectOverlay(Overlay):
+    """Cell picker over a (rows, cols) grid — hover highlight + click select
+    (reference toadui GridSelectOverlay; the patch-grid analog of the token
+    pickers the experiments use). read() -> (changed, (row, col) | None)."""
+
+    def __init__(self, grid_hw: tuple[int, int], color=(0, 255, 255)):
+        self.grid_hw = (int(grid_hw[0]), int(grid_hw[1]))
+        self.color = color
+        self._selected = None
+        self._hover = None
+        self._changed = False
+
+    def _cell(self, xy_norm):
+        gh, gw = self.grid_hw
+        return (
+            int(np.clip(xy_norm[1] * gh, 0, gh - 1)),
+            int(np.clip(xy_norm[0] * gw, 0, gw - 1)),
+        )
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self._selected
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        self._hover = self._cell(xy_norm)
+        if event == cv2.EVENT_LBUTTONDOWN:
+            sel = self._cell(xy_norm)
+            if sel != self._selected:
+                self._selected = sel
+                self._changed = True
+
+    def on_mouse_elsewhere(self):
+        self._hover = None
+
+    def draw(self, frame, wh):
+        w, h = wh
+        gh, gw = self.grid_hw
+        for cell, thickness in ((self._hover, 1), (self._selected, 2)):
+            if cell is None:
+                continue
+            r, c = cell
+            p1 = (int(c * w / gw), int(r * h / gh))
+            p2 = (int((c + 1) * w / gw), int((r + 1) * h / gh))
+            cv2.rectangle(frame, p1, p2, self.color, thickness)
+
+
+class Carousel(UIElement):
+    """Button carousel: < label > cycling through options (reference toadui
+    button carousels, buttons.py). Click the arrow thirds to cycle, the
+    middle to advance. read() -> (changed, index, label)."""
+
+    ARROW_W = 36
+
+    def __init__(self, label: str, options, default_index: int = 0, height=34):
+        self.label = label
+        self.options = list(options)
+        self._idx = int(np.clip(default_index, 0, max(len(self.options) - 1, 0)))
+        self.height = height
+        self._changed = False
+        self._width = 300
+
+    @property
+    def value(self):
+        return self.options[self._idx] if self.options else None
+
+    @property
+    def index(self):
+        return self._idx
+
+    def cycle(self, step: int = 1):
+        if self.options:
+            self._idx = (self._idx + step) % len(self.options)
+            self._changed = True
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self._idx, self.value
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        aw, hh = self.ARROW_W, self.height // 2
+        cv2.rectangle(img, (3, 3), (aw - 3, self.height - 3), (80, 80, 80), 1)
+        cv2.rectangle(img, (width - aw + 3, 3), (width - 3, self.height - 3), (80, 80, 80), 1)
+        cv2.fillPoly(img, [np.array([(aw // 2 + 4, hh - 6), (aw // 2 + 4, hh + 6), (aw // 2 - 6, hh)])], _FG)
+        cv2.fillPoly(img, [np.array([(width - aw // 2 - 4, hh - 6), (width - aw // 2 - 4, hh + 6), (width - aw // 2 + 6, hh)])], _FG)
+        text = f"{self.label}: {self.value}" if self.label else str(self.value)
+        TextDrawer(0.45).draw(img, text, (width // 2, hh - 7), anchor="center")
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self.cycle(-1 if x < self.ARROW_W else 1)
+
+
 class ImageDisplay(UIElement):
     """Main image panel; height tracks the image aspect at render width.
-    Supports hover readouts (set_hover_text) and draggable point markers
-    (add_marker) — the overlay features of toadui/overlays.py the
-    experiments use for live value inspection / token picking."""
+    Supports hover readouts (set_hover_text), draggable point markers
+    (add_marker) and composable overlays (add_overlay: text, rectangles,
+    polygons, masks, crosshairs, point/box/grid selection) — the
+    toadui/overlays.py feature family the experiments build on."""
 
     def __init__(self, image_bgr=None):
         self._img = image_bgr if image_bgr is not None else np.zeros((64, 64, 3), np.uint8)
@@ -296,6 +659,7 @@ class ImageDisplay(UIElement):
         self.hover_xy_norm = None
         self._hover_text_fn = None
         self._markers: list[DraggableMarker] = []
+        self._overlays: list[Overlay] = []
 
     def set_image(self, image_bgr):
         self._img = image_bgr
@@ -317,6 +681,15 @@ class ImageDisplay(UIElement):
         self._markers.append(marker)
         return marker
 
+    def add_overlay(self, overlay: Overlay) -> Overlay:
+        self._overlays.append(overlay)
+        return overlay
+
+    def remove_overlay(self, overlay: Overlay):
+        if overlay in self._overlays:
+            self._overlays.remove(overlay)
+        return self
+
     def render(self, width):
         h, w = self._img.shape[:2]
         self.height = max(1, int(round(h * width / w)))
@@ -325,12 +698,15 @@ class ImageDisplay(UIElement):
             img = self._img
         else:
             img = cv2.resize(self._img, (width, self.height))
-        if self._markers or (self._hover_text_fn and self.hover_xy_norm):
+        active_overlays = [ov for ov in self._overlays if ov.enabled]
+        if self._markers or active_overlays or (self._hover_text_fn and self.hover_xy_norm):
             img = img.copy()
         for m in self._markers:
             mx, my = int(m.xy_norm[0] * width), int(m.xy_norm[1] * self.height)
             cv2.drawMarker(img, (mx, my), m.color, cv2.MARKER_CROSS, 16, 2)
             cv2.circle(img, (mx, my), 6, m.color, 1, cv2.LINE_AA)
+        for ov in active_overlays:
+            ov.draw(img, (width, self.height))
         if self._hover_text_fn and self.hover_xy_norm is not None:
             self._draw_tooltip(img, width)
         return img
@@ -351,7 +727,13 @@ class ImageDisplay(UIElement):
         w, h = getattr(self, "_render_wh", (1, 1))
         xy_norm = (x / max(w, 1), y / max(h, 1))
         self.hover_xy_norm = xy_norm
-        if event == cv2.EVENT_LBUTTONDOWN:
+        for ov in self._overlays:
+            if ov.enabled:
+                ov.on_mouse(xy_norm, event, flags)
+        # interactive overlays (box select etc.) claim the click: don't also
+        # grab/place markers under an overlay-owned drag
+        overlay_owns_drag = any(ov.wants_mouse() for ov in self._overlays if ov.enabled)
+        if event == cv2.EVENT_LBUTTONDOWN and not overlay_owns_drag:
             self.last_click_xy_norm = xy_norm
             for m in self._markers:  # grab the nearest marker within reach
                 dx, dy = (m.xy_norm[0] - xy_norm[0]) * w, (m.xy_norm[1] - xy_norm[1]) * h
@@ -372,9 +754,13 @@ class ImageDisplay(UIElement):
 
     def on_mouse_elsewhere(self):
         self.hover_xy_norm = None
+        for ov in self._overlays:
+            ov.on_mouse_elsewhere()
 
     def wants_mouse(self):
-        return any(m._dragging for m in self._markers)
+        return any(m._dragging for m in self._markers) or any(
+            ov.wants_mouse() for ov in self._overlays if ov.enabled
+        )
 
 
 class LinePlot(UIElement):
