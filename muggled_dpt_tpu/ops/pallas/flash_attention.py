@@ -50,6 +50,7 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # the online kernel works in exp2 domain (see below)
 
 # One-pass cutoff: the f32 logit block (block_q x N_pad) plus q/k/v/o must fit
 # VMEM. At 2048 keys a whole-N q-block costs 2048*2048*4 = 16.8 MB — comfortable.
@@ -227,17 +228,38 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
 # ---------------------------------------------------------------------------
 
 
-def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, bias_ref=None):
+def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_k, d, l_ref=None, bias_ref=None):
+    """FlashAttention-2 inner step, VPU-minimized for the large-N regime.
+
+    The per-step work is VPU-bound at D=64 (the two matmuls cost ~2.7 us on
+    the MXU vs ~4.3 us measured per step for the round-2 kernel), so the
+    softmax path is restructured to shed full-tile VPU passes:
+
+    * exp2 domain — q arrives pre-scaled by softmax_scale*log2(e) and bias by
+      log2(e) (folded into XLA ops outside), so `p = exp2(s - m)`: the VPU's
+      native exponential-base-2 without the per-element ln2 multiply that
+      lowering exp() inserts.
+    * fused l column — when D is not a multiple of 128 the PV matmul's output
+      group is padded to 128 lanes anyway, so v is extended with ones columns
+      and the softmax row-sum accumulates INSIDE the acc matmul for free
+      (same correction factor applies to o and l); the jnp.sum VPU pass and
+      the separate l scratch disappear. l is read from acc column D at the
+      end. When D % 128 == 0 the extension would cost a whole extra MXU
+      column group, so the classic separate-l variant runs instead
+      (l_ref is passed only in that case).
+    """
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
+    fuse_l = l_ref is None
 
     @pl.when(ki == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if not fuse_l:
+            l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (BQ, D), pre-scaled
+    q = q_ref[0]  # (BQ, D), pre-scaled by scale*log2(e)
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]
     block_q = q.shape[0]
@@ -253,17 +275,29 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len,
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
-    l_ref[:, :1] = l_ref[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
+    # (a packed-bf16 exp2 variant — exp on (s-m).astype(bf16) — measured
+    # identical-to-slower on v5e at N=10k..18.5k, so the f32 path stays)
+    p = jnp.exp2(s - m_new)
+    correction = jnp.exp2(m_prev - m_new)
     m_ref[:, :1] = m_new
-    acc_ref[:] = acc_ref[:] * correction + lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if fuse_l:
+        ext = acc_ref.shape[1]
+        v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], ext - d), v.dtype)], axis=1)
+        acc_ref[:] = acc_ref[:] * correction + lax.dot_general(
+            p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    else:
+        l_ref[:, :1] = l_ref[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(ki == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
+        if fuse_l:
+            o_ref[0] = (acc_ref[:, :d] / jnp.maximum(acc_ref[:, d : d + 1], 1e-30)).astype(o_ref.dtype)
+        else:
+            o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -332,14 +366,21 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         return out[:, :n, :]
 
     # ---- online: keys streamed in blocks ----
-    # (1024, 1024) won the round-3 on-chip sweep at every ViT-L-family size
-    # (N=5477: 1.78 vs 2.01 ms; N=10405: 7.40 vs 7.86; N=18497: 22.05 vs
-    # 22.99 per 16-head op against the old (512, 1024); small block_k is
-    # disastrous — correction overhead per k-step: bk=512 doubles the time).
-    # XLA's dot_product_attention at these sizes: 122 ms at N=5477, OOM at
-    # N=18497. tools/flash_tune.py reruns the sweep.
+    # Round-3b on-chip sweep (tools/flash_tune.py, exp2 + fused-l kernel):
+    # big q-blocks win as long as the q padding waste stays bounded —
+    # (4096, 1024) reads 18.9 ms at N=18497 and 6.9 ms at N=10405 per
+    # 16-head op (vs 22.1 / 7.4 for round-3's (1024, 1024)), while at
+    # N=5477 the 4096 block pads 50% dead rows and (2048, 1024) wins
+    # (1.75 ms). block_k below 1024 is disastrous (correction overhead per
+    # k-step), 2048 is consistently worse (VMEM pressure halves pipelining).
+    # XLA's dot_product_attention: 29-122 ms at these sizes, OOM at N=18497.
     if block_q is None:
-        block_q = 1024
+        for cand in (4096, 2048, 1024, 512):
+            if _round_up(n, cand) <= 1.2 * n_pad128:
+                block_q = cand
+                break
+        else:
+            block_q = 512
     if block_k is None:
         block_k = 1024
     block_q = min(block_q, n_pad128)
@@ -347,9 +388,16 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
     n_pad_q = _round_up(n, block_q)
     n_pad_k = _round_up(n, block_k)
 
+    # exp2 domain: fold log2(e) into q (and bias) once, in XLA, so the kernel's
+    # exponentials are native base-2 — see _online_kernel docstring
+    q = (q.astype(jnp.float32) * LOG2E).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, n_pad_k - n), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
+
+    # l rides in the acc matmul when the PV output group has spare lanes
+    fuse_l = d % 128 != 0
+    acc_cols = _round_up(d + 1, 128) if fuse_l else d
 
     grid = (bh, n_pad_q // block_q, n_pad_k // block_k)
     in_specs = [
@@ -358,17 +406,32 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
     ]
     args = [qp, kp, vp]
-    kernel = functools.partial(_online_kernel, kv_len=n, block_k=block_k)
+    base_kernel = functools.partial(_online_kernel, kv_len=n, block_k=block_k, d=d)
+    if fuse_l:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref):
+            base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+            base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, l_ref=l_ref)
     if bias is not None:
         bp = _fit_bias(bias, n_pad_q, n_pad_k)
+        bp = (bp.astype(jnp.float32) * LOG2E).astype(bp.dtype)
         in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
         args.append(bp)
 
-        def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, l_ref, acc_ref):
-            _online_kernel(
-                q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                kv_len=n, block_k=block_k, bias_ref=b_ref,
-            )
+        if fuse_l:
+            def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, acc_ref):
+                base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, bias_ref=b_ref)
+        else:
+            def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, l_ref, acc_ref):
+                base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, l_ref=l_ref, bias_ref=b_ref)
+
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),  # running max (col 0 used)
+        pltpu.VMEM((block_q, acc_cols), jnp.float32),  # acc (+ fused l column)
+    ]
+    if not fuse_l:
+        scratch_shapes.insert(1, pltpu.VMEM((block_q, 128), jnp.float32))  # running sum
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
@@ -381,11 +444,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (col 0 used)
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
     )(*args)

@@ -1,0 +1,65 @@
+"""Large-resolution e2e latency sweep (DA-V2 ViT-L, scan mode, bf16).
+
+Reproduces the reference's published size ladder
+(/root/reference/muggled_dpt/v1_depthanything/components/README.md:20-29:
+252/392/504/756/1036/1428/1904 at 10/19/34/72/147/330/830 ms fp16-GPU) on
+the chip, using the same device-resident-frame chip-throughput method as
+bench.py (ordered dispatch + one final probe readback; the tunnel's ~25 ms
+RTT amortizes over the window).
+
+Run: python tools/bench_sizes.py [size ...]   (default: 756 1036 1428 1904)
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+REF_GPU_MS = {252: 10, 392: 19, 504: 34, 518: 34, 756: 72, 1036: 147, 1428: 330, 1904: 830}
+
+
+def main():
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    enable_compilation_cache()
+    sizes = [int(a) for a in sys.argv[1:]] or [756, 1036, 1428, 1904]
+
+    model = make_depthanythingv2_dpt(
+        features_per_token=1024,
+        num_heads=16,
+        num_blocks=24,
+        reassembly_features_list=(256, 512, 1024, 1024),
+        base_patch_grid_hw=(37, 37),
+        fusion_channels=256,
+        patch_size_px=14,
+        dtype=jnp.bfloat16,
+    )
+
+    rng = np.random.default_rng(0)
+    image_bgr = rng.integers(0, 256, size=(2160, 2160, 3), dtype=np.uint8)
+    frame = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
+
+    for size in sizes:
+        scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], size, True)
+        run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
+        np.asarray(run_one())  # compile + full readback
+        # window sized so each measurement stays ~10-20 s on the chip
+        iters = max(8, min(100, int(12.0 / max(0.02, REF_GPU_MS.get(size, 400) / 1000.0 / 2.5))))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run_one() for _ in range(iters)]
+            np.asarray(outs[-1][0, 0, 0])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        ref = REF_GPU_MS.get(size)
+        ratio = f"  ref {ref} ms -> {ref / (best * 1e3):.2f}x" if ref else ""
+        print(f"{size:>5}^2 -> {scaled_hw}: {best * 1e3:8.2f} ms ({1.0 / best:6.1f} fps){ratio}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,12 +69,12 @@ def main():
             print(f"  xla dot_product_attention          {t*1e3:8.2f} ms")
         except Exception as e:  # noqa: BLE001
             print(f"  xla dpa failed: {type(e).__name__}")
-        for bq, bk in ((512, 1024), (1024, 1024), (1024, 512), (2048, 1024)):
+        for bq, bk in ((None, None), (1024, 1024), (2048, 1024), (4096, 1024)):
             try:
                 t = timeit_chain(make_fn(bq, bk), q)
-                print(f"  online bq={bq:<5} bk={bk:<5}        {t*1e3:8.2f} ms")
+                print(f"  online bq={str(bq):<5} bk={str(bk):<5}      {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
-                print(f"  online bq={bq:<5} bk={bk:<5}        failed: {type(e).__name__}")
+                print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
 
 
 if __name__ == "__main__":
