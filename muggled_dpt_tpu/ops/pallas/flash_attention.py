@@ -23,8 +23,12 @@ exists in HBM and VMEM use is independent of N.
 
 Both kernels take q PRE-SCALED by the softmax scale (folded into XLA's
 preceding ops), so the kernel never multiplies the (BQ, BK) logit tile by a
-scalar. Matmuls run in the storage dtype (bf16 hits the MXU at full rate)
-with f32 accumulation; softmax math is f32 on the VPU.
+scalar. Bias-free paths additionally fold log2(e) into that pre-scale and
+exponentiate with native exp2 (biased paths keep natural exp so cached bias
+stacks shared with non-kernel fallbacks stay in logit units; the online
+kernel instead rescales the bias once in XLA). Matmuls run in the storage
+dtype (bf16 hits the MXU at full rate) with f32 accumulation; softmax math
+is f32 on the VPU.
 
 Measured (v5e, N=1297, H=16, D=64, bf16, per 16-head op, in-graph):
 one-pass 113 us vs 139 us for the round-1 online kernel vs 332 us for XLA's
@@ -71,8 +75,8 @@ def flash_attention_available() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, bias_ref=None):
-    q = q_ref[0]  # (BQ, D), pre-scaled
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, exp2_domain=False, bias_ref=None):
+    q = q_ref[0]  # (BQ, D), pre-scaled (by scale*log2(e) when exp2_domain)
     k = k_ref[0]  # (KV_pad, D), zero-padded
     v = v_ref[0]
     s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -83,7 +87,7 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, bias_ref=None):
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -98,10 +102,15 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
     head's softmax (VPU) with the next head's logit matmul (MXU)."""
     slab = qkv_ref[0]
     kv_pad = slab.shape[0]
+    # bias-free heads run in exp2 domain (log2(e) folds into the q scale for
+    # free); biased heads keep natural exp so cached bias stacks — shared
+    # with the non-kernel fallback paths — stay in logit units
+    exp2_domain = bias_ref is None
+    qscale = scale * LOG2E if exp2_domain else scale
     col = lax.broadcasted_iota(jnp.int32, (slab.shape[0], kv_pad), 1) if kv_len < kv_pad else None
     for j in range(hpp):
         base = j * 3 * d
-        q = (slab[:, base : base + d].astype(jnp.float32) * scale).astype(slab.dtype)
+        q = (slab[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
         k = slab[:, base + d : base + 2 * d]
         v = slab[:, base + 2 * d : base + 3 * d]
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -110,7 +119,7 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
         if col is not None:
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -330,6 +339,9 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             block_q = min(n_pad128, max(128, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128))
         block_q = min(block_q, n_pad128)
         n_pad_q = _round_up(n, block_q)
+        exp2_domain = bias is None  # biased logits stay in natural-exp units
+        if exp2_domain:
+            q = (q.astype(jnp.float32) * LOG2E).astype(q.dtype)
         qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
         kp = jnp.pad(k, ((0, 0), (0, n_pad128 - n), (0, 0)))
         vp = jnp.pad(v, ((0, 0), (0, n_pad128 - n), (0, 0)))
@@ -340,7 +352,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             pl.BlockSpec((1, n_pad128, d), lambda b, i: (b, 0, 0)),
         ]
         args = [qp, kp, vp]
-        kernel = functools.partial(_onepass_kernel, kv_len=n)
+        kernel = functools.partial(_onepass_kernel, kv_len=n, exp2_domain=exp2_domain)
         if bias is not None:
             bp = _fit_bias(bias, n_pad_q, n_pad128)
             in_specs.append(pl.BlockSpec((1, block_q, n_pad128), lambda b, i: (b, i, 0)))
