@@ -1,15 +1,19 @@
 """Compact OpenCV UI toolkit for the interactive demos.
 
 Plays the role of the reference's vendored ~12k-LoC 'toadui' package
-(demo_helpers/toadui/): window + keypress registry, vertical/horizontal
-stacking layout, sliders, toggle/press buttons, a button carousel, a
-colormap selector bar (including a custom spectral map), text drawing,
-hover readouts + draggable markers, a composable overlay family on the image
-panel — text/rectangle/polygon/mask/crosshair overlays plus point-click,
-box-select (the crop-box interaction core) and grid-select pickers
-(toadui/overlays.py, toadui/buttons.py) — line plots (toadui/plots.py) and a
-video playback bar (toadui/video.py) — implemented from scratch and sized to
-what the demo apps actually use. Model-agnostic: numpy/cv2 only."""
+(demo_helpers/toadui/): window + keypress registry, layout family
+(H/V stacks with optional width weights, grid stack, swapper, overlay
+stack, separators, padding — toadui/layout.py), sliders incl. multi-handle
+(toadui/sliders.py), toggle/immediate/radio buttons + a button carousel
+(toadui/buttons.py, carousels.py), a colormap selector bar (including a
+custom spectral map), text blocks and a message bar (toadui/text.py),
+hover readouts + draggable markers, a composable overlay family —
+text/rectangle/polygon/mask/crosshair/hover-label overlays plus
+point-click, box-select, editable crop-box, grid-select and mouse-paint
+interactions (toadui/overlays.py) — line and histogram plots
+(toadui/plots.py) and a video playback bar (toadui/video.py) — implemented
+from scratch and sized to what the demo apps actually use. Model-agnostic:
+numpy/cv2 only."""
 
 from __future__ import annotations
 
@@ -595,6 +599,255 @@ class GridSelectOverlay(Overlay):
             cv2.rectangle(frame, p1, p2, self.color, thickness)
 
 
+class HoverLabelOverlay(Overlay):
+    """Tooltip following the cursor, text supplied by a callback
+    (reference toadui/overlays.py:685 HoverLabelOverlay). The composable
+    form of ImageDisplay.set_hover_text — usable on any OverlayStack base."""
+
+    def __init__(self, label_fn, scale=0.45, color=_FG, bg_color=(25, 25, 25)):
+        self.label_fn = label_fn
+        self.scale, self.color, self.bg_color = scale, color, bg_color
+        self._xy = None
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        self._xy = xy_norm
+
+    def on_mouse_elsewhere(self):
+        self._xy = None
+
+    def draw(self, frame, wh):
+        if self._xy is None or self.label_fn is None:
+            return
+        text = self.label_fn(self._xy)
+        if not text:
+            return
+        w, h = wh
+        td = TextDrawer(self.scale, color=self.color)
+        tw, th = td.size(text)
+        x0 = int(min(self._xy[0] * w + 12, w - tw - 10))
+        y0 = int(max(self._xy[1] * h - th - 14, 2))
+        if self.bg_color is not None:
+            cv2.rectangle(frame, (x0 - 4, y0 - 3), (x0 + tw + 4, y0 + th + 6), self.bg_color, -1)
+        td.draw(frame, text, (x0, y0))
+
+
+class MousePaintOverlay(Overlay):
+    """Paint a mask over the panel with the mouse (reference
+    toadui/overlays.py:455 MousePaintOverlay): left-drag paints, ctrl- or
+    right-drag erases, a brush-radius circle tracks the hover position.
+    The painted mask accumulates at a fixed internal resolution;
+    read_mask() -> (changed, uint8 HxW mask) and read_trail() pops the
+    most recently finished stroke as normalized points (the reference's
+    trail-reading contract)."""
+
+    def __init__(self, mask_hw=(256, 256), brush_radius_norm=0.05, color=(0, 255, 255), alpha=0.35):
+        self.mask = np.zeros((int(mask_hw[0]), int(mask_hw[1])), np.uint8)
+        self.brush_radius_norm = float(brush_radius_norm)
+        self.color, self.alpha = color, alpha
+        self._hover = None
+        self._prev_xy = None
+        self._painting = 0  # 0 idle, +1 paint, -1 erase
+        self._changed = False
+        self._trail: list[tuple[float, float]] = []
+        self._finished_trail = None
+
+    def clear(self):
+        self._changed = self._changed or bool(self.mask.any())
+        self.mask[:] = 0
+        return self
+
+    def read_mask(self):
+        changed, self._changed = self._changed, False
+        return changed, self.mask.copy()
+
+    def read_trail(self):
+        """Pops (finished, points): the last completed stroke, once."""
+        trail, self._finished_trail = self._finished_trail, None
+        return trail is not None, tuple(trail or ())
+
+    def _stamp(self, xy_norm, value):
+        mh, mw = self.mask.shape
+        p = (int(np.clip(xy_norm[0], 0, 1) * (mw - 1)), int(np.clip(xy_norm[1], 0, 1) * (mh - 1)))
+        r = max(1, int(round(self.brush_radius_norm * mw)))
+        if self._prev_xy is not None:
+            q = (int(np.clip(self._prev_xy[0], 0, 1) * (mw - 1)), int(np.clip(self._prev_xy[1], 0, 1) * (mh - 1)))
+            cv2.line(self.mask, q, p, value, thickness=2 * r)
+        cv2.circle(self.mask, p, r, value, -1)
+        self._prev_xy = xy_norm
+        self._changed = True
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        self._hover = xy_norm
+        erase = bool(flags & cv2.EVENT_FLAG_CTRLKEY)
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self._painting = -1 if erase else 1
+            self._prev_xy = None
+            self._trail = [xy_norm]
+            self._stamp(xy_norm, 0 if erase else 255)
+        elif event == cv2.EVENT_RBUTTONDOWN:
+            self._painting = -1
+            self._prev_xy = None
+            self._stamp(xy_norm, 0)
+        elif event == cv2.EVENT_MOUSEMOVE and self._painting:
+            if self._painting > 0:
+                self._trail.append(xy_norm)
+            self._stamp(xy_norm, 255 if self._painting > 0 else 0)
+        elif event in (cv2.EVENT_LBUTTONUP, cv2.EVENT_RBUTTONUP) and self._painting:
+            if self._painting > 0 and self._trail:
+                self._finished_trail = list(self._trail)
+            self._painting = 0
+            self._prev_xy = None
+            self._trail = []
+
+    def on_mouse_elsewhere(self):
+        self._hover = None
+
+    def wants_mouse(self):
+        return bool(self._painting)
+
+    def draw(self, frame, wh):
+        w, h = wh
+        if self.mask.any():
+            m = cv2.resize(self.mask, (w, h), interpolation=cv2.INTER_NEAREST).astype(bool)
+            tint = frame[m].astype(np.float32) * (1 - self.alpha) + np.float32(self.color) * self.alpha
+            frame[m] = tint.astype(np.uint8)
+        if self._hover is not None:
+            p = (int(self._hover[0] * w), int(self._hover[1] * h))
+            cv2.circle(frame, p, max(2, int(self.brush_radius_norm * w)), self.color, 1, cv2.LINE_AA)
+
+
+class EditBoxOverlay(Overlay):
+    """Single editable box — the crop-box widget (reference
+    toadui/overlays.py:1109 EditBoxOverlay): drag a corner or mid-edge
+    handle to resize, drag the interior to move, drag far outside to redraw
+    the box from scratch; right-click resets to the full frame. Exactly one
+    box always exists (it starts as the full frame, like the reference's
+    clear()). read() -> (changed, ((x1,y1),(x2,y2)) normalized)."""
+
+    HANDLE_DIST_NORM = 0.03
+    MIN_SIZE_NORM = 0.01
+
+    def __init__(self, box=((0.0, 0.0), (1.0, 1.0)), color=(0, 255, 255), thickness=2, bg_color=(0, 0, 0)):
+        (x1, y1), (x2, y2) = box
+        self._box = [min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)]
+        self.color, self.thickness, self.bg_color = color, thickness, bg_color
+        self._mode = None  # ("resize", ix, iy) | ("move", dx, dy) | ("new",)
+        self._changed = True
+
+    def clear(self):
+        self._box = [0.0, 0.0, 1.0, 1.0]
+        self._mode = None
+        self._changed = True
+        return self
+
+    def set(self, box, flag_change: bool = False):
+        (x1, y1), (x2, y2) = box
+        self._box = [min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)]
+        self._changed = self._changed or flag_change
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        x1, y1, x2, y2 = self._box
+        return changed, ((x1, y1), (x2, y2))
+
+    # -- interaction ------------------------------------------------------
+    def _handles(self):
+        """9-point handle lattice: corners, mid-edges and center (xs x ys)."""
+        x1, y1, x2, y2 = self._box
+        return (x1, (x1 + x2) / 2, x2), (y1, (y1 + y2) / 2, y2)
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        x = float(np.clip(xy_norm[0], 0, 1))
+        y = float(np.clip(xy_norm[1], 0, 1))
+        if event == cv2.EVENT_RBUTTONDOWN:
+            self.clear()
+            return
+        if event == cv2.EVENT_LBUTTONDOWN:
+            xs, ys = self._handles()
+            ix = int(np.argmin([abs(x - v) for v in xs]))
+            iy = int(np.argmin([abs(y - v) for v in ys]))
+            near_x, near_y = abs(x - xs[ix]), abs(y - ys[iy])
+            t = self.HANDLE_DIST_NORM
+            x1, y1, x2, y2 = self._box
+            if near_x < t and near_y < t and not (ix == 1 and iy == 1):
+                self._mode = ("resize", ix, iy)  # corner or mid-edge handle
+            elif near_x < t and ix != 1 and y1 - t <= y <= y2 + t:
+                self._mode = ("resize", ix, 1)  # vertical edge anywhere along it
+            elif near_y < t and iy != 1 and x1 - t <= x <= x2 + t:
+                self._mode = ("resize", 1, iy)  # horizontal edge
+            elif x1 - t <= x <= x2 + t and y1 - t <= y <= y2 + t:
+                self._mode = ("move", x - x1, y - y1)
+            else:
+                self._box = [x, y, x, y]
+                self._mode = ("resize", 2, 2)  # drawing fresh: drag the far corner
+                self._changed = True
+            return
+        if self._mode is None:
+            return
+        if event == cv2.EVENT_MOUSEMOVE or event == cv2.EVENT_LBUTTONUP:
+            kind = self._mode[0]
+            x1, y1, x2, y2 = self._box
+            if kind == "move":
+                dx, dy = self._mode[1], self._mode[2]
+                w, h = x2 - x1, y2 - y1
+                nx1 = float(np.clip(x - dx, 0, 1 - w))
+                ny1 = float(np.clip(y - dy, 0, 1 - h))
+                self._box = [nx1, ny1, nx1 + w, ny1 + h]
+            else:
+                _, ix, iy = self._mode
+                if ix == 0:
+                    x1 = x
+                elif ix == 2:
+                    x2 = x
+                if iy == 0:
+                    y1 = y
+                elif iy == 2:
+                    y2 = y
+                # dragging a corner past its opposite swaps the handle's role
+                if x1 > x2:
+                    x1, x2 = x2, x1
+                    ix = 2 - ix
+                if y1 > y2:
+                    y1, y2 = y2, y1
+                    iy = 2 - iy
+                self._mode = ("resize", ix, iy)
+                # enforce a minimum size by pushing the dragged side back
+                if ix != 1 and x2 - x1 < self.MIN_SIZE_NORM:
+                    if ix == 0:
+                        x1 = max(x2 - self.MIN_SIZE_NORM, 0.0)
+                    else:
+                        x2 = min(x1 + self.MIN_SIZE_NORM, 1.0)
+                if iy != 1 and y2 - y1 < self.MIN_SIZE_NORM:
+                    if iy == 0:
+                        y1 = max(y2 - self.MIN_SIZE_NORM, 0.0)
+                    else:
+                        y2 = min(y1 + self.MIN_SIZE_NORM, 1.0)
+                self._box = [x1, y1, x2, y2]
+            self._changed = True
+            if event == cv2.EVENT_LBUTTONUP:
+                self._mode = None
+
+    def wants_mouse(self):
+        return self._mode is not None
+
+    def draw(self, frame, wh):
+        w, h = wh
+        x1, y1, x2, y2 = self._box
+        p1, p2 = (int(x1 * w), int(y1 * h)), (int(x2 * w), int(y2 * h))
+        if self.bg_color is not None:
+            cv2.rectangle(frame, p1, p2, self.bg_color, self.thickness + 1)
+        cv2.rectangle(frame, p1, p2, self.color, self.thickness)
+        xs, ys = self._handles()
+        for iy, yv in enumerate(ys):
+            for ix, xv in enumerate(xs):
+                if ix == 1 and iy == 1:
+                    continue
+                c = (int(xv * w), int(yv * h))
+                cv2.circle(frame, c, 4, self.bg_color or (0, 0, 0), -1)
+                cv2.circle(frame, c, 3, self.color, -1)
+
+
 class Carousel(UIElement):
     """Button carousel: < label > cycling through options (reference toadui
     button carousels, buttons.py). Click the arrow thirds to cycle, the
@@ -913,14 +1166,21 @@ class HStack(UIElement):
     change aspect when their content changes), and any child stretched to
     the row height gets its mouse-normalization size fixed up to match."""
 
-    def __init__(self, *elements, height=None):
+    def __init__(self, *elements, height=None, weights=None):
         self.elements = [e for e in elements if e is not None]
         self._fixed_height = height
         self.height = height or max((e.height for e in self.elements), default=34)
+        if weights is not None:
+            assert len(weights) == len(self.elements), "one weight per element"
+        self._weights = weights
 
     def render(self, width):
         n = max(len(self.elements), 1)
-        widths = [width // n] * n
+        if self._weights:
+            total = sum(self._weights)
+            widths = [max(1, int(width * wt / total)) for wt in self._weights]
+        else:
+            widths = [width // n] * n
         widths[-1] += width - sum(widths)
         parts = [e.render(w) for e, w in zip(self.elements, widths)]
         self.height = self._fixed_height or max(p.shape[0] for p in parts)
@@ -988,6 +1248,450 @@ class VStack:
     def on_mouse_elsewhere(self):
         for e in self.elements:
             e.on_mouse_elsewhere()
+
+
+class TextBlock(UIElement):
+    """Static multi-line text bar (reference toadui/text.py:24 TextBlock /
+    :158 TwoLineTextBlock — pass a list of lines for the multi-line forms).
+    set() replaces the text; prefix= gives the PrefixedTextBlock behavior
+    (set() only replaces the suffix)."""
+
+    def __init__(self, text="", prefix: str = "", scale=0.45, align="left", color=_FG):
+        self.prefix, self.scale, self.align, self.color = prefix, scale, align, color
+        self._lines: list[str] = []
+        self.set(text)
+
+    def set(self, text):
+        lines = list(text) if isinstance(text, (list, tuple)) else str(text or "").split("\n")
+        self._lines = [self.prefix + ln for ln in lines] or [self.prefix]
+        self.height = 14 + 18 * max(len(self._lines), 1)
+        return self
+
+    def render(self, width):
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        td = TextDrawer(self.scale, color=self.color)
+        for i, ln in enumerate(self._lines):
+            tw = td.size(ln)[0]
+            x = {"left": 10, "right": width - tw - 10}.get(self.align, (width - tw) // 2)
+            td.draw(img, ln, (x, 7 + 18 * i))
+        return img
+
+
+class MessageBar(UIElement):
+    """One-line status bar; messages expire after show_for renders
+    (reference toadui/text.py:260 MessageBar)."""
+
+    def __init__(self, text="", height=28, show_for: int | None = None, color=_ACCENT):
+        self.height, self.color = height, color
+        self._text = str(text)
+        self._show_for = show_for
+        self._remaining = show_for
+
+    def set(self, text):
+        self._text = str(text or "")
+        self._remaining = self._show_for
+        return self
+
+    def render(self, width):
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        if self._remaining is not None:
+            if self._remaining <= 0:
+                self._text = ""
+            self._remaining -= 1
+        if self._text:
+            td = TextDrawer(0.45, color=self.color)
+            td.draw(img, self._text, ((width - td.size(self._text)[0]) // 2, self.height // 2 - 8))
+        return img
+
+
+class ImmediateButton(UIElement):
+    """Momentary button — fires on click, read() pops the click flag
+    (reference toadui/buttons.py:339 ImmediateButton)."""
+
+    def __init__(self, label, height=34, color=(80, 80, 80)):
+        self.label, self.height, self.color = label, height, color
+        self._clicked = False
+        self._flash = 0
+
+    def click(self):
+        self._clicked = True
+        self._flash = 2
+        return self
+
+    def read(self) -> bool:
+        clicked, self._clicked = self._clicked, False
+        return clicked
+
+    def render(self, width):
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        color = _ACCENT if self._flash > 0 else self.color
+        self._flash = max(self._flash - 1, 0)
+        cv2.rectangle(img, (4, 4), (width - 4, self.height - 4), color, 2)
+        td = TextDrawer(0.45)
+        td.draw(img, self.label, ((width - td.size(self.label)[0]) // 2, self.height // 2 - 8))
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self.click()
+
+
+class RadioBar(UIElement):
+    """Row of mutually-exclusive options — exactly one active (reference
+    toadui/buttons.py:678 RadioBar / :547 RadioConstraint).
+    read() -> (changed, index, label)."""
+
+    def __init__(self, labels, default_index: int = 0, height=34):
+        self.labels = list(labels)
+        self._idx = int(np.clip(default_index, 0, max(len(self.labels) - 1, 0)))
+        self.height = height
+        self._changed = False
+        self._width = 300
+
+    @property
+    def value(self):
+        return self.labels[self._idx] if self.labels else None
+
+    @property
+    def index(self):
+        return self._idx
+
+    def select(self, idx_or_label, flag_change: bool = True):
+        idx = self.labels.index(idx_or_label) if isinstance(idx_or_label, str) else int(idx_or_label)
+        idx = int(np.clip(idx, 0, len(self.labels) - 1))
+        if idx != self._idx:
+            self._idx = idx
+            self._changed = self._changed or flag_change
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self._idx, self.value
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        n = max(len(self.labels), 1)
+        for i, lab in enumerate(self.labels):
+            x0, x1 = int(i * width / n), int((i + 1) * width / n)
+            on = i == self._idx
+            if on:
+                cv2.rectangle(img, (x0 + 3, 4), (x1 - 3, self.height - 4), (60, 90, 130), -1)
+            cv2.rectangle(img, (x0 + 3, 4), (x1 - 3, self.height - 4), _ACCENT if on else (80, 80, 80), 1)
+            TextDrawer(0.42).draw(img, lab, ((x0 + x1) // 2, self.height // 2 - 6), anchor="center")
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if event == cv2.EVENT_LBUTTONDOWN and self.labels:
+            self.select(x * len(self.labels) // max(self._width, 1))
+
+
+class MultiSlider(UIElement):
+    """Several handles on one track — e.g. a min/max threshold pair
+    (reference toadui/sliders.py:236 MultiSlider). Handles cannot cross;
+    read() -> (changed, tuple of values, ordered)."""
+
+    PAD = 10
+
+    def __init__(self, label, values, min_value, max_value, step=1, height=36):
+        self.label = label
+        self.min, self.max, self.step = min_value, max_value, step
+        self._values = sorted(type(step)(v) for v in values)
+        self.height = height
+        self._changed = False
+        self._drag_idx = None
+        self._width = 300
+
+    @property
+    def values(self):
+        return tuple(self._values)
+
+    def set(self, idx, value, flag_change: bool = False):
+        value = np.clip(value, self.min, self.max)
+        value = self.min + round((value - self.min) / self.step) * self.step
+        lo = self._values[idx - 1] if idx > 0 else self.min
+        hi = self._values[idx + 1] if idx + 1 < len(self._values) else self.max
+        value = type(self.step)(np.clip(value, lo, hi))
+        if value != self._values[idx]:
+            self._values[idx] = value
+            self._changed = self._changed or flag_change
+        return self
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, tuple(self._values)
+
+    def _to_x(self, v, width):
+        t = (v - self.min) / max(self.max - self.min, 1e-9)
+        return int(self.PAD + t * (width - 2 * self.PAD))
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        cy = self.height // 2
+        cv2.line(img, (self.PAD, cy), (width - self.PAD, cy), (90, 90, 90), 2)
+        if len(self._values) >= 2:  # highlight the spanned range
+            cv2.line(img, (self._to_x(self._values[0], width), cy), (self._to_x(self._values[-1], width), cy), (60, 90, 130), 2)
+        for v in self._values:
+            cv2.circle(img, (self._to_x(v, width), cy), 7, _ACCENT, -1)
+        vals = ", ".join(f"{v:g}" for v in self._values)
+        TextDrawer(0.45).draw(img, f"{self.label}: {vals}", (self.PAD, 2))
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if event == cv2.EVENT_LBUTTONDOWN and self._values:
+            xs = [self._to_x(v, self._width) for v in self._values]
+            self._drag_idx = int(np.argmin([abs(x - xv) for xv in xs]))
+        if event == cv2.EVENT_LBUTTONUP:
+            self._drag_idx = None
+        if self._drag_idx is not None and event in (cv2.EVENT_LBUTTONDOWN, cv2.EVENT_MOUSEMOVE):
+            t = np.clip((x - self.PAD) / max(self._width - 2 * self.PAD, 1), 0, 1)
+            self.set(self._drag_idx, self.min + t * (self.max - self.min), flag_change=True)
+
+    def wants_mouse(self):
+        return self._drag_idx is not None
+
+
+class HistogramPlot(UIElement):
+    """Bar-histogram panel (reference toadui/plots.py:29 SimpleHistogramPlot).
+    Feed bin counts directly (set_counts) or raw values (set_data); hovering
+    reads out the bin index and count."""
+
+    def __init__(self, title: str = "", height: int = 110, color=_ACCENT):
+        self.title, self.height, self.color = title, height, color
+        self._counts = None
+        self._hover_idx = None
+
+    def set_counts(self, counts):
+        self._counts = None if counts is None else np.asarray(counts, np.float64).reshape(-1)
+        return self
+
+    def set_data(self, values, bins=64, value_range=None):
+        counts, _ = np.histogram(np.asarray(values).reshape(-1), bins=bins, range=value_range)
+        return self.set_counts(counts)
+
+    def render(self, width):
+        self._width = width
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        cs = self._counts
+        if cs is None or len(cs) == 0:
+            return img
+        pad_l, pad_r, pad_t, pad_b = 12, 12, 18, 8
+        pw, ph = width - pad_l - pad_r, self.height - pad_t - pad_b
+        peak = max(float(cs.max()), 1e-9)
+        n = len(cs)
+        for i, c in enumerate(cs):
+            x0 = pad_l + int(i * pw / n)
+            x1 = pad_l + max(int((i + 1) * pw / n) - 1, x0 + 1)
+            bh = int(round(c / peak * ph))
+            color = (130, 190, 255) if i == self._hover_idx else self.color
+            if bh > 0:
+                cv2.rectangle(img, (x0, pad_t + ph - bh), (x1, pad_t + ph), color, -1)
+        label = self.title
+        if self._hover_idx is not None and 0 <= self._hover_idx < n:
+            label = f"{self.title}  bin {self._hover_idx}: {cs[self._hover_idx]:g}"
+        TextDrawer(0.42).draw(img, label, (pad_l, 2))
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        if self._counts is None or len(self._counts) == 0:
+            return
+        pad_l, pad_r = 12, 12
+        pw = max(getattr(self, "_width", 300) - pad_l - pad_r, 1)
+        self._hover_idx = int(np.clip((x - pad_l) * len(self._counts) // pw, 0, len(self._counts) - 1))
+
+    def on_mouse_elsewhere(self):
+        self._hover_idx = None
+
+
+class HSeparator(UIElement):
+    """Thin horizontal rule between VStack rows (reference
+    toadui/layout.py:942 HSeparator)."""
+
+    def __init__(self, height=7, color=(70, 70, 70)):
+        self.height, self.color = height, color
+
+    def render(self, width):
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        cv2.line(img, (6, self.height // 2), (width - 6, self.height // 2), self.color, 1)
+        return img
+
+
+class VSeparator(UIElement):
+    """Thin vertical rule for HStack rows — give it a small weight, e.g.
+    HStack(a, sep, b, weights=(1, 0.04, 1)) (reference toadui/layout.py:982
+    VSeparator)."""
+
+    def __init__(self, height=34, color=(70, 70, 70)):
+        self.height, self.color = height, color
+
+    def render(self, width):
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        cv2.line(img, (width // 2, 3), (width // 2, self.height - 3), self.color, 1)
+        return img
+
+
+class Padded(UIElement):
+    """Margin wrapper around a child element (reference toadui/layout.py:1022
+    Padded); mouse coordinates shift into the child's frame."""
+
+    def __init__(self, element, pad: int = 8, color=_BG):
+        self.element, self.pad, self.color = element, int(pad), color
+        self.height = element.height + 2 * self.pad
+
+    def render(self, width):
+        inner = self.element.render(max(width - 2 * self.pad, 1))
+        img = cv2.copyMakeBorder(
+            inner, self.pad, self.pad, self.pad, width - inner.shape[1] - self.pad,
+            cv2.BORDER_CONSTANT, value=self.color,
+        )
+        self.height = img.shape[0]
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        self.element.on_mouse(x - self.pad, y - self.pad, event, flags)
+
+    def on_mouse_elsewhere(self):
+        self.element.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return self.element.wants_mouse()
+
+
+class GridStack(UIElement):
+    """Elements arranged on a fixed column grid (reference
+    toadui/layout.py:401 GridStack): rows of HStacks sharing the drag-routing
+    semantics of VStack."""
+
+    def __init__(self, *elements, num_cols: int = 2):
+        elements = [e for e in elements if e is not None]
+        rows = [HStack(*elements[i : i + num_cols]) for i in range(0, len(elements), num_cols)]
+        self._v = VStack(*rows)
+        self.elements = elements
+        self.height = sum(r.height for r in rows)
+
+    def render(self, width):
+        img = self._v.render(width)
+        self.height = img.shape[0]
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        self._v.on_mouse(x, y, event, flags)
+
+    def on_mouse_elsewhere(self):
+        self._v.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return self._v.wants_mouse()
+
+
+class Swapper(UIElement):
+    """Holds several elements, renders/routes only the active one (reference
+    toadui/layout.py:802 Swapper) — page switching for tools that share one
+    panel region."""
+
+    def __init__(self, *elements, active: int = 0):
+        self.elements = [e for e in elements if e is not None]
+        self._idx = int(np.clip(active, 0, max(len(self.elements) - 1, 0)))
+        self._changed = False
+
+    @property
+    def active(self):
+        return self.elements[self._idx] if self.elements else None
+
+    @property
+    def index(self):
+        return self._idx
+
+    def set_active(self, idx: int, flag_change: bool = True):
+        idx = int(idx) % max(len(self.elements), 1)
+        if idx != self._idx:
+            for e in self.elements:
+                e.on_mouse_elsewhere()
+            self._idx = idx
+            self._changed = self._changed or flag_change
+        return self
+
+    def cycle(self, step: int = 1):
+        return self.set_active(self._idx + step)
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self._idx
+
+    @property
+    def height(self):
+        return self.active.height if self.active else 34
+
+    @height.setter
+    def height(self, _v):  # UIElement compatibility; height follows the active child
+        pass
+
+    def render(self, width):
+        return self.active.render(width) if self.active else np.full((34, width, 3), _BG, np.uint8)
+
+    def on_mouse(self, x, y, event, flags=0):
+        if self.active:
+            self.active.on_mouse(x, y, event, flags)
+
+    def on_mouse_elsewhere(self):
+        if self.active:
+            self.active.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return bool(self.active) and self.active.wants_mouse()
+
+
+class OverlayStack(UIElement):
+    """Lifts the composable Overlay family onto ANY element (reference
+    toadui/layout.py:703 OverlayStack): the base element renders normally,
+    then each attached Overlay draws over the full rendered frame and
+    receives normalized mouse coordinates — the same protocol ImageDisplay
+    uses internally, now available for stacks, plots, etc."""
+
+    def __init__(self, base, *overlays):
+        self.base = base
+        self.overlays = list(overlays)
+
+    def add_overlay(self, overlay: Overlay) -> Overlay:
+        self.overlays.append(overlay)
+        return overlay
+
+    @property
+    def height(self):
+        return self.base.height
+
+    @height.setter
+    def height(self, _v):
+        pass
+
+    def render(self, width):
+        img = self.base.render(width)
+        active = [ov for ov in self.overlays if ov.enabled]
+        self._wh = (img.shape[1], img.shape[0])
+        if active:
+            img = img.copy()
+            for ov in active:
+                ov.draw(img, self._wh)
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        w, h = getattr(self, "_wh", (1, 1))
+        xy_norm = (x / max(w, 1), y / max(h, 1))
+        overlay_owns = any(ov.wants_mouse() for ov in self.overlays if ov.enabled)
+        for ov in self.overlays:
+            if ov.enabled:
+                ov.on_mouse(xy_norm, event, flags)
+        if not overlay_owns:
+            self.base.on_mouse(x, y, event, flags)
+
+    def on_mouse_elsewhere(self):
+        self.base.on_mouse_elsewhere()
+        for ov in self.overlays:
+            ov.on_mouse_elsewhere()
+
+    def wants_mouse(self):
+        return self.base.wants_mouse() or any(ov.wants_mouse() for ov in self.overlays if ov.enabled)
 
 
 class DisplayWindow:
