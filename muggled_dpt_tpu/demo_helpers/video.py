@@ -59,6 +59,16 @@ class LoopingVideoReader:
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, frame_index)
             self._frame_idx = frame_index - 1
 
+    def peek_frame(self):
+        """Read one frame without advancing playback (non-webcam sources are
+        rewound). Used to grab a frame for the --crop UI before the loop."""
+        ok, frame = self._cap.read()
+        if not ok:
+            return False, None
+        if not self._is_webcam:
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        return True, self._scale(frame)
+
     def get_frame_wh(self) -> tuple[int, int]:
         w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))

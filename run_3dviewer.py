@@ -153,36 +153,45 @@ class MaskSource:
         return 255 - np.round(255.0 * mag / max(float(mag.max()), 1e-9)).astype(np.uint8)
 
 
-def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, jpg_quality=80):
-    """Run inference and encode (rgb_jpg_bytes, depth_png_bytes)."""
+LOSSY_EXTS = {".jpg", ".jpeg"}
+
+
+def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, jpg_quality=80,
+                 use_square=True, rgb_ext=".jpg", depth_ext=".png"):
+    """Run inference and encode (rgb_bytes, depth_bytes) in the given formats."""
     frame = source.read_frame(idx)
     if frame is None:
         return None, None
     if crop is not None:
         frame = crop.apply(frame)
-    depth = np.asarray(model.inference(frame, max_side, True), np.float32).squeeze()
+    depth = np.asarray(model.inference(frame, max_side, use_square), np.float32).squeeze()
     if not is_metric:
         depth = normalize_01(remove_infinities(depth))
 
-    # 24-bit packing into R,G,B (reference run_3dviewer.py:579-590)
+    # 24-bit packing into R,G,B (reference run_3dviewer.py:579-590); lossy
+    # depth encodings keep only the top 8 bits to limit distortion (:585)
     d24 = np.clip(np.round(depth * (2**24 - 1)), 0, 2**24 - 1).astype(np.uint32)
     packed = np.zeros((*depth.shape, 3), np.uint8)
     packed[..., 2] = (d24 >> 16) & 255  # R (cv2 is BGR)
-    packed[..., 1] = (d24 >> 8) & 255
-    packed[..., 0] = d24 & 255
+    if depth_ext not in LOSSY_EXTS:
+        packed[..., 1] = (d24 >> 8) & 255
+        packed[..., 0] = d24 & 255
 
     depth_01 = depth if not is_metric else cv2.normalize(depth, None, 0.0, 1.0, cv2.NORM_MINMAX)
     alpha = (mask or MaskSource(None)).get_mask_uint8(depth_01)
-    packed_bgra = np.dstack([packed, alpha])
+    # JPEG has no alpha channel — lossy depth ships without the edge mask
+    depth_img = packed if depth_ext in LOSSY_EXTS else np.dstack([packed, alpha])
 
-    ok1, rgb_bytes = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, jpg_quality])
-    ok2, depth_bytes = cv2.imencode(".png", packed_bgra)
+    rgb_params = [cv2.IMWRITE_JPEG_QUALITY, jpg_quality] if rgb_ext in LOSSY_EXTS else []
+    ok1, rgb_bytes = cv2.imencode(rgb_ext, frame, rgb_params)
+    ok2, depth_bytes = cv2.imencode(depth_ext, depth_img)
     if not (ok1 and ok2):
         return None, None
     return rgb_bytes.tobytes(), depth_bytes.tobytes()
 
 
-def make_handler(model, source, max_side, is_metric, mask=None, crop=None):
+def make_handler(model, source, max_side, is_metric, mask=None, crop=None,
+                 use_square=True, rgb_ext=".jpg", depth_ext=".png"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -214,7 +223,8 @@ def make_handler(model, source, max_side, is_metric, mask=None, crop=None):
                     idx = int(path.split("/")[-1])
                 except ValueError:
                     return self._send(400, b"bad frame index")
-                rgb, depth = encode_frame(model, source, idx, max_side, is_metric, mask=mask, crop=crop)
+                rgb, depth = encode_frame(model, source, idx, max_side, is_metric, mask=mask, crop=crop,
+                                          use_square=use_square, rgb_ext=rgb_ext, depth_ext=depth_ext)
                 if rgb is None:
                     return self._send(503, b"no frame")
                 return self._send(
@@ -243,7 +253,7 @@ def make_handler(model, source, max_side, is_metric, mask=None, crop=None):
                     return self._send(503, b"no frame")
                 if crop is not None:
                     frame = crop.apply(frame)
-                d = np.asarray(model.inference(frame, max_side, True), np.float32).squeeze()
+                d = np.asarray(model.inference(frame, max_side, use_square), np.float32).squeeze()
                 d = normalize_01(remove_infinities(d))
                 kwargs = dict(grid=min(max(qf("grid", 320, int), 2), 1024), scale=qf("scale", 0.6), offset=qf("offset", 0.0))
                 if path.endswith("obj"):
@@ -266,12 +276,23 @@ def main():
     parser = argparse.ArgumentParser(description="Serve the browser 3D depth viewer")
     parser.add_argument("-i", "--input_path", default=None, help="Image/video path or webcam number")
     parser.add_argument("-m", "--model_path", default=None)
+    parser.add_argument("-cam", "--use_webcam", action="store_true", help="Use webcam 0 as the input")
     parser.add_argument("-b", "--base_size_px", default=None, type=int)
     parser.add_argument("-p", "--port", default=8000, type=int)
-    parser.add_argument("--host", default="localhost")
+    parser.add_argument("-t", "--host", default="localhost", help="Server host")
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (see docs/performance.md)")
+    parser.add_argument("-nc", "--no_cache", action="store_true", help="Disable per-grid aux caching to reduce HBM usage")
+    parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
+    parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Process at the input's aspect ratio")
+    parser.add_argument("-l", "--launch", action="store_true", help="Automatically open the viewer page in a browser")
+    parser.add_argument("--encode_image", default="jpg", help="Encoding for the RGB image data (default: jpg)")
+    parser.add_argument(
+        "--encode_depth", default="png",
+        help="Encoding for the depth data (default: png; lossy formats keep only the top 8 depth bits, "
+             "reference run_3dviewer.py:585-590)",
+    )
     parser.add_argument(
         "-k", "--mask_path", default=None,
         help="Path to a binary mask image used as the depth alpha channel "
@@ -290,13 +311,19 @@ def main():
     history = HistoryKeeper()
     _, hist_input = history.read("input_path")
     _, hist_model = history.read("model_path")
-    input_path = args.input_path or ask_for_path("Enter path to image/video (or webcam number)", hist_input, must_exist=False)
+    if args.use_webcam:
+        input_path = "0"
+    else:
+        input_path = args.input_path or ask_for_path("Enter path to image/video (or webcam number)", hist_input, must_exist=False)
     model_path = args.model_path or ask_for_model_path(default_path=hist_model)
     history.store(input_path=str(input_path), model_path=model_path)
 
     device_config = make_device_config(use_float32=args.use_float32)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
-    config, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"])
+    config, model = make_dpt_from_state_dict(
+        model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
+        dtype=device_config["dtype"],
+    )
     if args.int8:
         try:
             model = model.quantize_encoder_int8()
@@ -305,6 +332,9 @@ def main():
             print(f"  --int8 unavailable for this family ({e}); using dense path")
     is_metric = bool(config.get("is_metric", False))
     max_side = args.base_size_px or model.default_size_px
+    use_square = not args.use_aspect_ratio
+    rgb_ext = args.encode_image.lower() if args.encode_image.startswith(".") else f".{args.encode_image.lower()}"
+    depth_ext = args.encode_depth.lower() if args.encode_depth.startswith(".") else f".{args.encode_depth.lower()}"
 
     source = InputSource(str(input_path))
     mask = MaskSource(args.mask_path)
@@ -331,13 +361,20 @@ def main():
         if crop is not None:
             probe = crop.apply(probe)
         print("Compiling inference program...", flush=True)
-        np.asarray(model.inference(probe, max_side, True))
+        np.asarray(model.inference(probe, max_side, use_square))
         print("Ready.", flush=True)
 
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(model, source, max_side, is_metric, mask=mask, crop=crop)
+        (args.host, args.port),
+        make_handler(model, source, max_side, is_metric, mask=mask, crop=crop,
+                     use_square=use_square, rgb_ext=rgb_ext, depth_ext=depth_ext),
     )
-    print(f"\nServing 3D viewer at http://{args.host}:{args.port}\n(ctrl+c to quit)")
+    url = f"http://{args.host}:{args.port}"
+    print(f"\nServing 3D viewer at {url}\n(ctrl+c to quit)")
+    if args.launch:
+        import webbrowser
+
+        threading.Timer(0.5, lambda: webbrowser.open(url)).start()
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -32,7 +32,7 @@ from muggled_dpt_tpu.demo_helpers.saving import make_save_name, save_image, save
 
 def parse_args():
     parser = argparse.ArgumentParser(description="Run depth estimation on a single image")
-    parser.add_argument("-i", "--image_path", default=None, help="Path to input image")
+    parser.add_argument("-i", "--image_path", default=None, help="Path to input image or folder of images")
     parser.add_argument("-m", "--model_path", default=None, help="Path to DPT model weights (.pt/.pth)")
     parser.add_argument("-s", "--display_size", default=800, type=int, help="Display size in pixels")
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
@@ -43,6 +43,10 @@ def parse_args():
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Keep original aspect ratio")
     parser.add_argument("-b", "--base_size_px", default=None, type=int, help="Override base model size")
     parser.add_argument("--crop", action="store_true", help="Interactively crop before inference")
+    parser.add_argument(
+        "--noselect", action="store_true",
+        help="Disable the file selector (n/b image cycling) even for folder inputs (reference run_image.py:102-106)",
+    )
     parser.add_argument("--headless", action="store_true", help="No UI: run once, save outputs, quit")
     return parser.parse_args()
 
@@ -170,7 +174,7 @@ def main():
         carousel.next() if direction > 0 else carousel.prev()
         file_changed = True
 
-    if len(carousel) > 1:
+    if len(carousel) > 1 and not args.noselect:
         window.attach_keypress_callback("n", lambda: _cycle(+1))
         window.attach_keypress_callback("b", lambda: _cycle(-1))
 

@@ -31,14 +31,24 @@ def parse_args():
     parser.add_argument("-m", "--model_path", default=None, help="Path to DPT model weights")
     parser.add_argument("-cam", "--use_webcam", action="store_true", help="Use webcam 0")
     parser.add_argument("-s", "--display_size", default=800, type=int)
+    parser.add_argument(
+        "-t", "--display_ms", default=1, type=int,
+        help="Time to display each frame; 0 = pace by the video's own FPS (reference run_video.py:56-62)",
+    )
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-b", "--base_size_px", default=None, type=int, help="Override model base size")
+    parser.add_argument("-nc", "--no_cache", action="store_true", help="Disable per-grid aux caching to reduce HBM usage")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("-u", "--prefer_unstable_f16", action="store_true")
     parser.add_argument("-z", "--no_optimization", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (DA/BEiT; see docs/performance.md)")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true")
     parser.add_argument("-sync", "--use_sync", action="store_true", help="Block on every frame (accurate timing)")
+    parser.add_argument(
+        "-r", "--allow_recording", action="store_true",
+        help="Enable the toggle-able per-frame depth recording UI (reference run_video.py:122-128)",
+    )
+    parser.add_argument("--crop", action="store_true", help="Interactively crop frames before inference (persisted)")
     parser.add_argument("--max_frames", default=None, type=int, help="Stop after N frames (headless testing)")
     parser.add_argument("--headless", action="store_true", help="No display window")
     return parser.parse_args()
@@ -64,7 +74,8 @@ def main():
     device_config = make_device_config(use_float32=args.use_float32, prefer_bfloat16=not args.prefer_unstable_f16)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
     model_config, dpt_model = make_dpt_from_state_dict(
-        model_path, enable_cache=True, enable_optimizations=not args.no_optimization, dtype=device_config["dtype"]
+        model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
+        dtype=device_config["dtype"],
     )
     if args.int8:
         try:
@@ -72,16 +83,28 @@ def main():
             print("  int8 encoder tier enabled")
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")
-    print_config_feedback(model_path, device_config, use_cache=True)
+    print_config_feedback(model_path, device_config, use_cache=not args.no_cache)
 
     reader = LoopingVideoReader(video_source)
     base_size = args.base_size_px or dpt_model.default_size_px
     use_square = not args.use_aspect_ratio
 
+    # Optional interactive crop of the video frames, persisted via history
+    # (reference run_video.py:130-134,207-215)
+    crop_slices = None
+    if args.crop:
+        from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
+
+        ok_first, first_frame = reader.peek_frame()
+        assert ok_first, "No frame available to crop"
+        _, prev_crop = history.read("crop_xy1xy2_norm")
+        crop_slices, crop_norm = run_crop_ui(first_frame, prev_crop)
+        history.store(crop_xy1xy2_norm=crop_norm)
+
     cmap_bar = ui.ColormapsBar()
     reverse_toggle = ui.ToggleButton("Reverse colors", False)
     histeq_toggle = ui.ToggleButton("Equalize", False)
-    record_toggle = ui.ToggleButton("Record", False)
+    record_toggle = ui.ToggleButton("Record", False) if args.allow_recording else None
     display = ui.ImageDisplay()
     playback = ui.PlaybackBar(reader.total_frames) if not reader.is_webcam else None
     layout = ui.VStack(display, cmap_bar, playback, reverse_toggle, histeq_toggle, record_toggle)
@@ -93,9 +116,11 @@ def main():
         window.attach_keypress_callback("c", cmap_bar.next)
         window.attach_keypress_callback("r", reverse_toggle.toggle)
         window.attach_keypress_callback("e", histeq_toggle.toggle)
-        window.attach_keypress_callback("o", record_toggle.toggle)
+        if record_toggle is not None:
+            window.attach_keypress_callback("o", record_toggle.toggle)
         window.attach_keypress_callback(" ", playback.toggle_pause if playback is not None else reader.toggle_pause)
-        print("\nKeys: space=pause  c=colormap  r=reverse  e=equalize  o=record  q=quit")
+        rec_help = "  o=record" if record_toggle is not None else ""
+        print(f"\nKeys: space=pause  c=colormap  r=reverse  e=equalize{rec_help}  q=quit")
 
     gate = AsyncResult()
     depth_u8 = None
@@ -103,8 +128,13 @@ def main():
     record_folder = None
     frames_seen = 0
 
+    # frame pacing (reference run_video.py:192): 0 = use the video's own fps
+    frame_delay_ms = max(1, int(1000 / max(reader.fps, 1))) if args.display_ms == 0 else max(1, int(args.display_ms))
+
     for is_paused, frame_idx, frame in reader:
         frames_seen += 1
+        if crop_slices is not None:
+            frame = frame[crop_slices]
         if playback is not None and not is_paused:
             playback.set_frame(frame_idx)
 
@@ -136,7 +166,7 @@ def main():
             combined = np.hstack([frame, colored])
             display.set_image(combined)
 
-            if record_toggle.is_on:
+            if record_toggle is not None and record_toggle.is_on:
                 if record_folder is None:
                     record_folder = get_save_folder(osp.join("saved_results", make_save_name(str(video_source), "rec")))
                 cv2.imwrite(osp.join(record_folder, f"frame_{frame_idx:06d}.png"), colored)
@@ -150,7 +180,7 @@ def main():
                 reader.pause(paused)
 
         if window is not None:
-            request_close, _ = window.show(args.display_size, max(1, int(1000 / max(reader.fps, 1))))
+            request_close, _ = window.show(args.display_size, frame_delay_ms)
             if request_close:
                 break
         if args.max_frames is not None and frames_seen >= args.max_frames:

@@ -347,3 +347,66 @@ def test_mesh_sampling_rounds_half_up_like_js():
     np.testing.assert_allclose(z[:, 1], 1.0)
     np.testing.assert_allclose(z[:, 0], 0.0)
     np.testing.assert_allclose(z[:, 2], 1.0)
+
+
+def test_lossy_depth_encoding_keeps_top_bits(model_and_dir):
+    """--encode_depth jpg: lossy depth ships only the top 8 bits in R with
+    G/B zeroed (reference run_3dviewer.py:585-590) and, since JPEG has no
+    alpha, without the edge-mask channel."""
+    model, d = model_and_dir
+    img = np.random.default_rng(3).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    img_path = str(d / "lossy_input.png")
+    cv2.imwrite(img_path, img)
+    source = run_3dviewer.InputSource(img_path)
+
+    httpd, base = _serve(model, source, depth_ext=".jpg")
+    try:
+        _, headers, body = _get(base + "/frame/0")
+        rgb_size = int(headers["X-rgb-size"])
+        depth_img = cv2.imdecode(np.frombuffer(body[rgb_size:], np.uint8), cv2.IMREAD_UNCHANGED)
+        assert depth_img is not None and depth_img.ndim == 3 and depth_img.shape[2] == 3  # no alpha
+        # G/B were zeroed before encoding; JPEG noise keeps them small
+        assert float(depth_img[..., 0].mean()) < 16 and float(depth_img[..., 1].mean()) < 16
+        # R carries the top bits: must still span most of the range
+        r = depth_img[..., 2]
+        assert int(r.max()) > 200 and int(r.min()) < 55
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    # reference PNG wire for the same frame: lossy R must track lossless R
+    httpd, base = _serve(model, run_3dviewer.InputSource(img_path))
+    try:
+        _, headers2, body2 = _get(base + "/frame/0")
+        rgb2 = int(headers2["X-rgb-size"])
+        png = cv2.imdecode(np.frombuffer(body2[rgb2:], np.uint8), cv2.IMREAD_UNCHANGED)
+        err = np.abs(png[..., 2].astype(np.int32) - r.astype(np.int32))
+        assert float(np.median(err)) <= 8  # jpeg-tolerance agreement of top bits
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_aspect_ratio_mode_serves_nonsquare_depth(model_and_dir):
+    """-ar: the served depth map follows the input's aspect ratio instead of
+    the square sizing (reference run_3dviewer.py:80-86,137)."""
+    model, d = model_and_dir
+    img = np.random.default_rng(4).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    img_path = str(d / "ar_input.png")
+    cv2.imwrite(img_path, img)
+
+    shapes = {}
+    for name, use_square in (("square", True), ("ar", False)):
+        httpd, base = _serve(model, run_3dviewer.InputSource(img_path), use_square=use_square)
+        try:
+            _, headers, body = _get(base + "/frame/0")
+            rgb_size = int(headers["X-rgb-size"])
+            depth_img = cv2.imdecode(np.frombuffer(body[rgb_size:], np.uint8), cv2.IMREAD_UNCHANGED)
+            shapes[name] = depth_img.shape[:2]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    assert shapes["square"][0] == shapes["square"][1]
+    h, w = shapes["ar"]
+    assert w > h  # 128x96 input stays landscape in AR mode

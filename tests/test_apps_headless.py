@@ -63,7 +63,8 @@ def test_run_image_headless(fixtures):
 def test_run_video_headless(fixtures):
     r = _run(
         [osp.join(REPO_ROOT, "run_video.py"), "-m", fixtures["ckpt"], "-i", fixtures["vid"],
-         "--headless", "--max_frames", "10", "-sync", "-d", "cpu", "-f32"],
+         "--headless", "--max_frames", "10", "-sync", "-d", "cpu", "-f32",
+         "-t", "5", "-nc", "-r"],  # display_ms / no_cache / allow_recording parse + run
         cwd=fixtures["dir"],
     )
     assert r.returncode == 0, r.stderr[-2000:]
