@@ -129,3 +129,47 @@ def test_run_image_headless_beit_and_swinv2(fixtures, tmp_path):
         )
         assert r.returncode == 0, (name, r.stderr[-2000:])
         assert "Saved:" in r.stdout, name
+
+
+def test_run_batch_folder_data_parallel(fixtures):
+    """run_batch.py processes a folder over a 2-device virtual CPU data mesh,
+    writing u16/npy/color outputs for every image (padded final batch)."""
+    d = fixtures["dir"]
+    frames_dir = osp.join(d, "batch_frames")
+    os.makedirs(frames_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(3):  # 3 frames over batch=2 -> exercises the padded flush
+        cv2.imwrite(osp.join(frames_dir, f"in_{i}.png"), rng.integers(0, 256, (120, 160, 3), dtype=np.uint8))
+
+    out_dir = osp.join(d, "batch_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", frames_dir,
+         "-o", out_dir, "-dp", "2", "-f32", "--save", "u16,npy,color"],
+        cwd=d, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Done: 3 frames" in r.stdout
+    saved = sorted(os.listdir(out_dir))
+    for i in range(3):
+        assert f"in_{i}.png" in saved and f"in_{i}.npy" in saved and f"in_{i}_color.png" in saved
+    u16 = cv2.imread(osp.join(out_dir, "in_0.png"), cv2.IMREAD_UNCHANGED)
+    assert u16.dtype == np.uint16 and u16.max() == 65535
+    # frames differ -> depths must differ (no padded-output mixups)
+    a = np.load(osp.join(out_dir, "in_0.npy"))
+    b = np.load(osp.join(out_dir, "in_1.npy"))
+    assert a.shape == b.shape and not np.allclose(a, b)
+
+
+def test_run_batch_video_max_frames(fixtures):
+    """Video input: --max_frames caps the run; single-device path."""
+    d = fixtures["dir"]
+    out_dir = osp.join(d, "batch_vid_out")
+    r = _run(
+        [osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", fixtures["vid"],
+         "-o", out_dir, "-dp", "1", "-f32", "--max_frames", "4"],
+        cwd=d,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Done: 4 frames" in r.stdout
+    assert sorted(os.listdir(out_dir)) == [f"frame_{i:06d}.png" for i in range(4)]
