@@ -122,3 +122,33 @@ def test_tensor_parallel_forward_matches_single(tiny_model):
         sharded = np.asarray(jax.jit(fwd)(params, x))
     single = np.asarray(jax.jit(fwd)(tiny_model.params, x))
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
+def test_finetune_converges_on_synthetic_scene(tiny_model):
+    """Multi-step fine-tuning proof (tools/finetune_demo.py): the SSI loss on
+    a fixed synthetic image->depth batch must drop substantially within a few
+    dp x tp sharded optimizer steps — gradients flow through the full stack."""
+    import optax
+
+    import tools.finetune_demo as demo
+    from muggled_dpt_tpu.parallel.mesh import shard_batch
+    from muggled_dpt_tpu.parallel.train import make_train_step
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    images, targets = demo.synthetic_scene(rng, batch=2, hw=(28, 28))
+
+    fwd = tiny_model.spec["forward"]
+    optimizer = optax.adamw(3e-4)
+    params = shard_params(jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tiny_model.params), mesh)
+    opt_state = optimizer.init(params)
+    images, targets = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
+
+    step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optimizer))
+    losses = []
+    with mesh:
+        for _ in range(12):
+            params, opt_state, loss = step(params, opt_state, images, targets)
+            losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < 0.6 * losses[0], losses
