@@ -212,7 +212,10 @@ class DPTModel:
         """Return a copy of this model with a different compute dtype."""
         return DPTModel(self.params, self.config, self.spec, dtype=dtype)
 
-    def quantize_encoder_int8(self, include_qkv: bool = False, calibration_images=None, max_side_length=None):
+    def quantize_encoder_int8(
+        self, include_qkv: bool = False, calibration_images=None, max_side_length=None,
+        include_reassembly: bool = False,
+    ):
         """Opt-in int8 (w8a8) serving tier: returns a copy whose encoder
         transformer matmul weights are symmetric per-channel int8 (activations
         quantized dynamically per token at run time — ops/quant.py). The v5e
@@ -268,6 +271,15 @@ class DPTModel:
             params["encoder"] = {**enc, "stages": stages}
         else:
             raise NotImplementedError("int8 tier: unrecognized encoder parameter layout")
+        if include_reassembly:
+            # extend the tier to the reassembly GEMMs (stage projections +
+            # fused resample taps); fusion/head convs stay dense — see
+            # ops/quant.quantize_reassembly_params
+            from .ops.quant import quantize_reassembly_params
+
+            stages = params.get("reassemble")
+            if stages:
+                params = {**params, "reassemble": quantize_reassembly_params(stages)}
         return DPTModel(params, self.config, self.spec, dtype=self._dtype)
 
 

@@ -44,8 +44,14 @@ def reassemble_stage(tokens, patch_grid_hw, p, scale, readout: str):
     b, n, c = tokens.shape
     x = tokens.reshape(b, gh, gw, c)
 
-    # projection (1x1 conv == linear over channels) then spatial resample
-    x = linear(x, p["proj_kernel"], p["proj_bias"])
+    # projection (1x1 conv == linear over channels) then spatial resample;
+    # int8 tier stores the projection as q8+scale (ops/quant.py)
+    if "proj_kernel_q8" in p:
+        from ..ops.quant import linear_w8a8
+
+        x = linear_w8a8(x, p["proj_kernel_q8"], p["proj_kernel_scale"], p["proj_bias"])
+    else:
+        x = linear(x, p["proj_kernel"], p["proj_bias"])
     if scale in (2, 4):
         if "fused" in p and x.dtype == jnp.bfloat16:
             # bf16 serving: the conv-transpose + 3x3 fuse pair collapses into

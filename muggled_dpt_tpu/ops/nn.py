@@ -312,16 +312,31 @@ def conv_transpose_fuse_phase(x, fused, s: int):
     co = fused["tap_bias"].shape[-1]
     dt = x.dtype
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # int8 tier (ops/quant.quantize_reassembly_params): the taps are stored
+    # as q8+scale. The activation is quantized ONCE on the padded map (the
+    # per-token scales shift with the tap slices), not per tap.
+    int8_taps = any(k.endswith("_q8") for k in fused)
+    if int8_taps:
+        pf = padded.astype(jnp.float32)
+        p_scale = jnp.maximum(jnp.max(jnp.abs(pf), axis=-1, keepdims=True), 1e-12) / 127.0
+        p_q8 = jnp.clip(jnp.round(pf / p_scale), -127, 127).astype(jnp.int8)
     contrib = {}
     for u in (-1, 0, 1):
         rows = _phase_support(s, u)
         for v in (-1, 0, 1):
             cols = _phase_support(s, v)
             key = f"t{u + 1}{v + 1}"
-            if key not in fused:
+            if key not in fused and key + "_q8" not in fused:
                 continue
-            xs = lax.slice(padded, (0, 1 + u, 1 + v, 0), (b, 1 + u + h, 1 + v + w, ci))
-            y = (xs.reshape(b, h * w, ci) @ fused[key].astype(dt)).reshape(b, h, w, len(rows) * len(cols), co)
+            if int8_taps:
+                xq = lax.slice(p_q8, (0, 1 + u, 1 + v, 0), (b, 1 + u + h, 1 + v + w, ci)).reshape(b, h * w, ci)
+                xsc = lax.slice(p_scale, (0, 1 + u, 1 + v, 0), (b, 1 + u + h, 1 + v + w, 1)).reshape(b, h * w, 1)
+                acc = lax.dot_general(xq, fused[key + "_q8"], (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+                y = (acc.astype(jnp.float32) * xsc * fused[key + "_scale"].reshape(1, 1, -1)).astype(dt)
+                y = y.reshape(b, h, w, len(rows) * len(cols), co)
+            else:
+                xs = lax.slice(padded, (0, 1 + u, 1 + v, 0), (b, 1 + u + h, 1 + v + w, ci))
+                y = (xs.reshape(b, h * w, ci) @ fused[key].astype(dt)).reshape(b, h, w, len(rows) * len(cols), co)
             for i, a in enumerate(rows):
                 for j, bb in enumerate(cols):
                     t = y[:, :, :, i * len(cols) + j, :]

@@ -150,6 +150,31 @@ def quantize_block_params(stacked_blocks: dict, subset=QUANTIZABLE, smoothing: d
     return out
 
 
+def quantize_reassembly_params(stages):
+    """int8 tier for the reassembly neck (`DPTModel.quantize_encoder_int8`
+    with include_reassembly=True): the per-stage 1x1 projection and — when
+    the bf16 fused resample+fuse precompute is present — its phase-decomposed
+    tap matrices are plain GEMMs, quantized with the same per-output-channel
+    recipe as the encoder (the ViT-Giant's all-1536 reassembly is the main
+    beneficiary; docs/performance.md). Conv-shaped fusion/head ops stay dense
+    (XLA convs — no GEMM layout to quantize into)."""
+    new_stages = []
+    for p in stages:
+        p = dict(p)
+        if "proj_kernel" in p:
+            q, sc = quantize_weight(p.pop("proj_kernel"))
+            p["proj_kernel_q8"], p["proj_kernel_scale"] = q, sc
+        fused = p.get("fused")
+        if fused is not None:
+            fused = dict(fused)
+            for key in [k for k in fused if len(k) == 3 and k.startswith("t")]:
+                q, sc = quantize_weight(fused.pop(key))
+                fused[key + "_q8"], fused[key + "_scale"] = q, sc
+            p["fused"] = fused
+        new_stages.append(p)
+    return new_stages
+
+
 def compute_smoothing(stacked_blocks: dict, act_stats: dict, subset=QUANTIZABLE, alpha: float = 0.5) -> dict:
     """SmoothQuant migration factors s_c = act_amax^alpha / weight_amax^(1-alpha)
     per layer and input channel (arXiv:2211.10438 eq. 4), from per-channel

@@ -183,3 +183,49 @@ def test_smoothing_factorization_is_exact():
         ref = x @ w[layer]
         got = (x / s[layer]) @ (w[layer] * s[layer][:, None])
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_fused_reassembly_taps_close_to_dense():
+    """conv_transpose_fuse_phase int8 branch vs the bf16 tap matmuls: the
+    shared padded-map activation quantization must agree with the dense path
+    to int8-recipe accuracy on every phase/tap."""
+    from muggled_dpt_tpu.ops.nn import conv_transpose_fuse_phase, fuse_transpose_conv3x3_weights
+    from muggled_dpt_tpu.ops.quant import quantize_reassembly_params
+
+    rng = np.random.default_rng(5)
+    ci, co, s = 32, 16, 4
+    rk = rng.normal(0, 0.2, (s, s, ci, ci)).astype(np.float32)
+    rb = rng.normal(0, 0.1, (ci,)).astype(np.float32)
+    fk = rng.normal(0, 0.2, (3, 3, ci, co)).astype(np.float32)
+    fused = fuse_transpose_conv3x3_weights(jnp.asarray(rk), jnp.asarray(rb), jnp.asarray(fk))
+    (stage_q,) = quantize_reassembly_params([{"fused": fused}])
+    assert not any(len(k) == 3 and k.startswith("t") for k in stage_q["fused"])  # dense taps dropped
+
+    x = jnp.asarray(rng.normal(0, 1.0, (1, 6, 7, ci)), jnp.bfloat16)
+    dense = np.asarray(conv_transpose_fuse_phase(x, fused, s), np.float32)
+    quant = np.asarray(conv_transpose_fuse_phase(x, stage_q["fused"], s), np.float32)
+    assert quant.shape == dense.shape == (1, 24, 28, co)
+    rel = np.abs(quant - dense).mean() / max(np.abs(dense).mean(), 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_int8_include_reassembly_end_to_end():
+    """Full-tier model (encoder + reassembly GEMMs quantized) stays close to
+    the bf16 model and keeps the q8 taps in its serving params."""
+    m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.bfloat16)
+    q = m.quantize_encoder_int8(include_reassembly=True)
+    for p in q.params["reassemble"]:
+        assert "proj_kernel_q8" in p and "proj_kernel" not in p
+        if "fused" in p:
+            assert any(k.endswith("_q8") for k in p["fused"])
+    img = np.random.default_rng(2).integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+    d1 = np.asarray(q.inference(img), np.float32)
+    assert d1.shape == d0.shape and np.isfinite(d1).all()
+    absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+    assert absrel < 3e-2, absrel
+    # SwinV2 stages have no proj/fused GEMMs -> include_reassembly is a no-op
+    s = make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
+    sq = s.quantize_encoder_int8(include_reassembly=True)
+    d = np.asarray(sq.inference(img), np.float32)
+    assert np.isfinite(d).all()
