@@ -38,7 +38,9 @@ def random_original_depth_anything_state_dict(config: dict, seed: int = 0) -> di
     is_giant = config.get("is_giant", False)
 
     def w(*shape, scale=0.05):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # draw f32 directly: half the memory traffic and ~2x faster than
+        # f64-then-cast, which dominates ViT-Giant synthetic builds
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     sd = {
         "pretrained.cls_token": w(1, 1, f),

@@ -143,7 +143,9 @@ def random_original_state_dict(config: dict, seed: int = 0) -> dict:
     cf = config["fusion_channels"]
 
     def w(*shape, scale=0.05):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # draw f32 directly: half the memory traffic and ~2x faster than
+        # f64-then-cast, which dominates ViT-Giant synthetic builds
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     f0 = feats[0]
     sd = {
