@@ -29,7 +29,12 @@ def readout_project(tokens_bnc, cls_bc, p):
     b, n, c = tokens_bnc.shape
     cls_expand = jnp.broadcast_to(cls_bc[:, None, :], (b, n, c))
     merged = jnp.concatenate([tokens_bnc, cls_expand], axis=-1)
-    h = linear(merged, p["kernel"], p["bias"])
+    if "kernel_q8" in p:  # int8 tier (ops/quant.quantize_reassembly_params)
+        from ..ops.quant import linear_w8a8
+
+        h = linear_w8a8(merged, p["kernel_q8"], p["kernel_scale"], p["bias"])
+    else:
+        h = linear(merged, p["kernel"], p["bias"])
     return gelu(h)
 
 

@@ -164,6 +164,11 @@ def quantize_reassembly_params(stages):
         if "proj_kernel" in p:
             q, sc = quantize_weight(p.pop("proj_kernel"))
             p["proj_kernel_q8"], p["proj_kernel_scale"] = q, sc
+        if "readout" in p and "kernel" in p["readout"]:  # BEiT 2F->F project
+            ro = dict(p["readout"])
+            q, sc = quantize_weight(ro.pop("kernel"))
+            ro["kernel_q8"], ro["kernel_scale"] = q, sc
+            p["readout"] = ro
         fused = p.get("fused")
         if fused is not None:
             fused = dict(fused)

@@ -229,3 +229,19 @@ def test_int8_include_reassembly_end_to_end():
     sq = s.quantize_encoder_int8(include_reassembly=True)
     d = np.asarray(sq.inference(img), np.float32)
     assert np.isfinite(d).all()
+
+
+def test_int8_include_reassembly_beit():
+    """BEiT's reassembly adds the 2F->F readout-project GEMM; the full tier
+    quantizes it alongside proj/fused and stays close to bf16."""
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.bfloat16)
+    q = m.quantize_encoder_int8(include_reassembly=True)
+    for p in q.params["reassemble"]:
+        assert "kernel_q8" in p["readout"] and "kernel" not in p["readout"]
+    img = np.random.default_rng(3).integers(0, 256, (120, 160, 3), np.uint8)
+    d0 = np.asarray(m.inference(img), np.float32)
+    d1 = np.asarray(q.inference(img), np.float32)
+    absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
+    assert np.isfinite(d1).all() and absrel < 3e-2, absrel
