@@ -1678,12 +1678,18 @@ class OverlayStack(UIElement):
     def on_mouse(self, x, y, event, flags=0):
         w, h = getattr(self, "_wh", (1, 1))
         xy_norm = (x / max(w, 1), y / max(h, 1))
-        overlay_owns = any(ov.wants_mouse() for ov in self.overlays if ov.enabled)
+        # ownership must be checked AFTER dispatching to the overlays (like
+        # ImageDisplay.on_mouse): an overlay claiming this LBUTTONDOWN has to
+        # keep the base from also starting a drag it would never see end
+        base_owned = self.base.wants_mouse()
         for ov in self.overlays:
             if ov.enabled:
                 ov.on_mouse(xy_norm, event, flags)
-        if not overlay_owns:
+        overlay_owns = any(ov.wants_mouse() for ov in self.overlays if ov.enabled)
+        if base_owned or not overlay_owns:
             self.base.on_mouse(x, y, event, flags)
+        else:
+            self.base.on_mouse_elsewhere()
 
     def on_mouse_elsewhere(self):
         self.base.on_mouse_elsewhere()

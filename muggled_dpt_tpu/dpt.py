@@ -174,6 +174,14 @@ class DPTModel:
         x = self._prep_jit(jnp.asarray(image_rgb), scaled_hw)
         return x.transpose(0, 3, 1, 2)
 
+    def prepare_image_bgr_nhwc(self, image_bgr, max_side_length=None, use_square_sizing=True):
+        """Like `prepare_image_bgr` but returns the device-resident NHWC
+        array the forward actually consumes (no BCHW round trip / host sync)
+        — the batching entry for `parallel.BatchParallelRunner` callers."""
+        scaled_hw = self.compute_scaled_hw(image_bgr.shape[:2], max_side_length, use_square_sizing)
+        image_rgb = np.ascontiguousarray(image_bgr[..., ::-1]).astype(np.float32)
+        return self._prep_jit(jnp.asarray(image_rgb), scaled_hw)
+
     def compute_scaled_hw(self, img_hw, max_side_length=None, use_square_sizing=True):
         """Round target size to the model's tiling constraint (patch_embed.py:117-130)."""
         if max_side_length is None:

@@ -153,7 +153,13 @@ class MaskSource:
         return 255 - np.round(255.0 * mag / max(float(mag.max()), 1e-9)).astype(np.uint8)
 
 
-LOSSY_EXTS = {".jpg", ".jpeg"}
+# treat every encoding except these as lossy for the depth packing: webp &
+# co. default to lossy in cv2, and lossy G/B bytes decode as huge depth jumps
+LOSSLESS_EXTS = {".png", ".bmp"}
+
+
+def _is_lossy(ext: str) -> bool:
+    return ext not in LOSSLESS_EXTS
 
 
 def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, jpg_quality=80,
@@ -173,16 +179,16 @@ def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, 
     d24 = np.clip(np.round(depth * (2**24 - 1)), 0, 2**24 - 1).astype(np.uint32)
     packed = np.zeros((*depth.shape, 3), np.uint8)
     packed[..., 2] = (d24 >> 16) & 255  # R (cv2 is BGR)
-    if depth_ext not in LOSSY_EXTS:
+    if not _is_lossy(depth_ext):
         packed[..., 1] = (d24 >> 8) & 255
         packed[..., 0] = d24 & 255
 
     depth_01 = depth if not is_metric else cv2.normalize(depth, None, 0.0, 1.0, cv2.NORM_MINMAX)
     alpha = (mask or MaskSource(None)).get_mask_uint8(depth_01)
     # JPEG has no alpha channel — lossy depth ships without the edge mask
-    depth_img = packed if depth_ext in LOSSY_EXTS else np.dstack([packed, alpha])
+    depth_img = packed if _is_lossy(depth_ext) else np.dstack([packed, alpha])
 
-    rgb_params = [cv2.IMWRITE_JPEG_QUALITY, jpg_quality] if rgb_ext in LOSSY_EXTS else []
+    rgb_params = [cv2.IMWRITE_JPEG_QUALITY, jpg_quality] if rgb_ext in (".jpg", ".jpeg") else []
     ok1, rgb_bytes = cv2.imencode(rgb_ext, frame, rgb_params)
     ok2, depth_bytes = cv2.imencode(depth_ext, depth_img)
     if not (ok1 and ok2):

@@ -45,10 +45,12 @@ def parse_args():
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier")
     parser.add_argument("-dp", "--data-parallel", dest="data_parallel", default=None, type=int,
-                        help="Shard batches over an N-device data mesh (default: all visible devices)")
-    parser.add_argument("--per-chip-batch", default=1, type=int, help="Frames per device per step")
-    parser.add_argument("--no-tensor-parallel", action="store_true",
-                        help="Replicate weights instead of sharding them over the mesh's model axis")
+                        help="Width of the mesh's data axis — frames per step per --per-chip-batch "
+                             "(default: all visible devices)")
+    parser.add_argument("--per-chip-batch", default=1, type=int, help="Frames per data-mesh slot per step")
+    parser.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel", default=1, type=int,
+                        help="Also shard the weights Megatron-style over a model axis of this width "
+                             "(needs data_parallel x tensor_parallel devices)")
     parser.add_argument("--save", default="u16", help="Comma list of outputs: u16, npy, color (default: u16)")
     parser.add_argument("--max_frames", default=None, type=int, help="Stop after N frames")
     return parser.parse_args()
@@ -89,6 +91,7 @@ def main():
     enable_compilation_cache()
 
     import jax  # after select_device
+    import jax.numpy as jnp
 
     from muggled_dpt_tpu.parallel.inference import BatchParallelRunner
     from muggled_dpt_tpu.parallel.mesh import make_mesh
@@ -110,14 +113,15 @@ def main():
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")
 
-    dp = args.data_parallel or len(jax.devices())
     n_dev = len(jax.devices())
-    assert dp <= n_dev, (
-        f"--data-parallel {dp} needs {dp} devices, have {n_dev} (for validation without a slice: "
-        f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count={dp})"
+    tp = max(1, args.tensor_parallel)
+    dp = args.data_parallel or max(1, n_dev // tp)
+    assert dp * tp <= n_dev, (
+        f"-dp {dp} x -tp {tp} needs {dp * tp} devices, have {n_dev} (for validation without a slice: "
+        f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp})"
     )
-    mesh = make_mesh(dp, dp) if args.no_tensor_parallel else make_mesh(dp)
-    runner = BatchParallelRunner(model, mesh=mesh, shard_model=not args.no_tensor_parallel)
+    mesh = make_mesh(dp * tp, data_parallel=dp)
+    runner = BatchParallelRunner(model, mesh=mesh, shard_model=tp > 1)
     batch = runner.data_parallelism * max(1, args.per_chip_batch)
     print(f"Mesh: {dict(mesh.shape)} | batch per step: {batch}")
 
@@ -154,9 +158,8 @@ def main():
         n_real = len(pending_batch)
         frames = [f for _, f in pending_batch]
         frames += [frames[-1]] * (batch - n_real)
-        x = np.concatenate(
-            [np.asarray(model.prepare_image_bgr(f, base_size, use_square)).transpose(0, 2, 3, 1) for f in frames]
-        )
+        # device-resident NHWC prep: no BCHW round trip / per-frame host sync
+        x = jnp.concatenate([model.prepare_image_bgr_nhwc(f, base_size, use_square) for f in frames])
         depths = np.asarray(runner(x), np.float32)
         for (name, _), depth in zip(pending_batch, depths[:n_real]):
             save_one(name, depth)

@@ -93,13 +93,24 @@ def main():
     # (reference run_video.py:130-134,207-215)
     crop_slices = None
     if args.crop:
-        from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
-
         ok_first, first_frame = reader.peek_frame()
         assert ok_first, "No frame available to crop"
         _, prev_crop = history.read("crop_xy1xy2_norm")
-        crop_slices, crop_norm = run_crop_ui(first_frame, prev_crop)
-        history.store(crop_xy1xy2_norm=crop_norm)
+        if args.headless:
+            # no display: reuse the persisted crop instead of the blocking UI
+            if prev_crop:
+                h, w = first_frame.shape[:2]
+                (x1, y1), (x2, y2) = prev_crop
+                crop_slices = (slice(int(round(y1 * h)), max(int(round(y2 * h)), int(round(y1 * h)) + 1)),
+                               slice(int(round(x1 * w)), max(int(round(x2 * w)), int(round(x1 * w)) + 1)))
+                print(f"  --crop (headless): using persisted crop {prev_crop}")
+            else:
+                print("  --crop ignored: headless mode and no persisted crop in history")
+        else:
+            from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
+
+            crop_slices, crop_norm = run_crop_ui(first_frame, prev_crop)
+            history.store(crop_xy1xy2_norm=crop_norm)
 
     cmap_bar = ui.ColormapsBar()
     reverse_toggle = ui.ToggleButton("Reverse colors", False)

@@ -64,7 +64,9 @@ def test_run_video_headless(fixtures):
     r = _run(
         [osp.join(REPO_ROOT, "run_video.py"), "-m", fixtures["ckpt"], "-i", fixtures["vid"],
          "--headless", "--max_frames", "10", "-sync", "-d", "cpu", "-f32",
-         "-t", "5", "-nc", "-r"],  # display_ms / no_cache / allow_recording parse + run
+         # display_ms / no_cache / recording / headless-crop (no persisted
+         # crop in history -> warn and skip, never open a UI)
+         "-t", "5", "-nc", "-r", "--crop"],
         cwd=fixtures["dir"],
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -150,6 +152,7 @@ def test_run_batch_folder_data_parallel(fixtures):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Done: 3 frames" in r.stdout
+    assert "batch per step: 2" in r.stdout  # -dp 2 means a 2-wide DATA axis
     saved = sorted(os.listdir(out_dir))
     for i in range(3):
         assert f"in_{i}.png" in saved and f"in_{i}.npy" in saved and f"in_{i}_color.png" in saved

@@ -263,3 +263,22 @@ def test_mousepaint_paints_erases_and_reads_trail():
     paint.clear()
     _, mask = paint.read_mask()
     assert not mask.any()
+
+
+def test_overlaystack_base_skips_overlay_owned_drag():
+    """Regression: an overlay claiming LBUTTONDOWN must keep the base element
+    from also starting a drag it would never see end (the stack previously
+    computed ownership before dispatching, so the base ghost-dragged and
+    wants_mouse() stuck True forever)."""
+    ms = MultiSlider("range", [20, 97], 0, 100)
+    stack = OverlayStack(ms)
+    box = stack.add_overlay(EditBoxOverlay(box=((0.2, 0.2), (0.6, 0.6))))
+    stack.render(300)
+    # click inside the edit box interior -> box drags, slider must not
+    stack.on_mouse(120, 20, cv2.EVENT_LBUTTONDOWN)
+    assert box.wants_mouse()
+    before = list(ms.values)
+    stack.on_mouse(200, 30, cv2.EVENT_MOUSEMOVE)
+    stack.on_mouse(200, 30, cv2.EVENT_LBUTTONUP)
+    assert list(ms.values) == before  # slider untouched
+    assert not stack.wants_mouse()  # no stuck drag owner

@@ -17,3 +17,26 @@ def test_unroll_matches_scan():
     out_scan = np.asarray(model.spec["forward"](model.params, x))
     out_unrolled = np.asarray(spec_unrolled["forward"](model.params, x))
     np.testing.assert_allclose(out_unrolled, out_scan, rtol=1e-6, atol=1e-6)
+
+
+def test_loader_unroll_blocks_kwarg(tmp_path):
+    """make_dpt_from_state_dict(unroll_blocks=True) reaches the serving-mode
+    spec through the checkpoint-loading path (docs/serving.md recipe)."""
+    import torch
+
+    from muggled_dpt_tpu.checkpoints.random_init import random_original_depth_anything_state_dict
+    from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
+
+    cfg = {"features_per_token": 64, "num_blocks": 4, "reassembly_features_list": [8, 16, 32, 64],
+           "fusion_channels": 16, "patch_size_px": 14, "base_patch_grid_hw": (8, 8)}
+    sd = random_original_depth_anything_state_dict(cfg, seed=9)
+    ckpt = str(tmp_path / "depth_anything_v2_tiny.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    _, m_scan = make_dpt_from_state_dict(ckpt)
+    cfg_u, m_unroll = make_dpt_from_state_dict(ckpt, unroll_blocks=True)
+    assert cfg_u.get("unroll_blocks") is True
+    np.testing.assert_allclose(
+        np.asarray(m_unroll.inference(img)), np.asarray(m_scan.inference(img)), rtol=1e-5, atol=1e-6
+    )
