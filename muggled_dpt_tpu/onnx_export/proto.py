@@ -167,6 +167,18 @@ def encode_message(schema_name: str, msg: dict) -> bytes:
     out = bytearray()
     for name, value in msg.items():
         if name == "_unknown":
+            # re-emit fields outside the transcribed schema verbatim (field
+            # order is not semantic in protobuf), so foreign files survive a
+            # parse -> serialize round trip as the module docstring promises
+            for field_number, wire_type, raw in value:
+                _write_varint(out, _tag(field_number, wire_type))
+                if wire_type == _VARINT:
+                    _write_varint(out, int(raw))
+                elif wire_type == _LEN:
+                    _write_varint(out, len(raw))
+                    out += raw
+                else:  # _FIXED64 / _FIXED32 raw bytes
+                    out += raw
             continue
         if name not in schema:
             raise KeyError(f"{schema_name} has no field {name!r}")

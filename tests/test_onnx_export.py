@@ -200,3 +200,22 @@ def test_bf16_model_exports_f32_weights():
     (got,) = evaluate_model(onnx_bytes, {"image": x}).values()
     absrel = np.abs(got - want).mean() / max(np.abs(want).mean(), 1e-9)
     assert absrel < 2e-5, absrel
+
+
+def test_codec_preserves_unknown_fields_through_roundtrip():
+    """Fields outside the transcribed schema subset must survive a
+    parse -> serialize round trip verbatim (the docstring's promise for
+    foreign ONNX files, e.g. ModelProto.functions or training_info)."""
+    from muggled_dpt_tpu.onnx_export.proto import decode_message, encode_message
+
+    # ModelProto with a known field (ir_version=8, field 1 varint) plus two
+    # foreign fields: a length-delimited field 20 and a varint field 99
+    foreign = bytes([0x08, 0x08]) + bytes([0xA2, 0x01, 0x03]) + b"xyz" + bytes([0x98, 0x06, 0x2A])
+    msg = decode_message("ModelProto", foreign)
+    assert msg["ir_version"] == 8
+    assert ("_unknown" in msg) and len(msg["_unknown"]) == 2
+
+    reencoded = encode_message("ModelProto", msg)
+    # same field set re-parses identically (order may differ; content may not)
+    msg2 = decode_message("ModelProto", reencoded)
+    assert msg2 == msg

@@ -31,11 +31,10 @@ def fullscale():
 
 @pytest.fixture(scope="module")
 def image_bgr():
-    rng = np.random.default_rng(11)
-    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
-    base = 120 + 60 * np.sin(yy / 37.0) + 50 * np.cos(xx / 53.0)
-    image = base[..., None] + rng.normal(0, 18, (480, 640, 3))
-    return np.clip(image, 0, 255).astype(np.uint8)
+    # shared with the CLI so both entry points gate the same input
+    from tools.parity_fullscale import make_test_image
+
+    return make_test_image()
 
 
 @pytest.mark.parametrize("family", ["da-v2", "da-v1", "da-v2-metric", "beit", "swinv2"])

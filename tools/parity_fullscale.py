@@ -155,6 +155,16 @@ def build_state_dict(family: str, seed: int = 31):
     raise ValueError(family)
 
 
+def make_test_image() -> np.ndarray:
+    """Synthetic photo-like input shared by the CLI and the pytest wrapper
+    (tests/test_parity_fullscale.py): smooth gradients + texture noise."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    base = 120 + 60 * np.sin(yy / 37.0) + 50 * np.cos(xx / 53.0)
+    image = base[..., None] + rng.normal(0, 18, (480, 640, 3))
+    return np.clip(image, 0, 255).astype(np.uint8)
+
+
 def abs_rel(ours: np.ndarray, ref: np.ndarray) -> float:
     scale = float(np.abs(ref).mean()) + 1e-12
     return float(np.abs(ours - ref).mean() / scale)
@@ -203,12 +213,7 @@ def main(argv=None):
     if args.xl:
         families += [f for f, c in CASES.items() if c.get("xl") and f not in families]
 
-    rng = np.random.default_rng(11)
-    # synthetic photo-like input: smooth gradients + texture noise, 480x640
-    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
-    base = 120 + 60 * np.sin(yy / 37.0) + 50 * np.cos(xx / 53.0)
-    image = base[..., None] + rng.normal(0, 18, (480, 640, 3))
-    image_bgr = np.clip(image, 0, 255).astype(np.uint8)
+    image_bgr = make_test_image()
 
     all_ok = True
     rows = []

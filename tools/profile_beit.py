@@ -37,7 +37,6 @@ def main():
     from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
     from muggled_dpt_tpu.models.beit import BEiTConfig, encoder_forward, compute_bias_stack
     from muggled_dpt_tpu.ops.nn import patchify_embed, self_attention
-    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 
@@ -100,13 +99,6 @@ def main():
     t_nobias = chain(lambda y: self_attention(y, attn_params, h, bias=None, impl="pallas"))
     t_bias = chain(lambda y: self_attention(y, attn_params, h, bias=bias1, impl="pallas"))
     print(f"attention/block: no-bias {t_nobias*1e6:.0f} us | cached-bias {t_bias*1e6:.0f} us | delta {(t_bias-t_nobias)*1e6:.0f} us")
-
-    # bias pad+broadcast overhead inside flash_attention_fused_qkv: feed an
-    # already-padded bias vs the (H, N, N) slice
-    qkv = jnp.asarray(rng.standard_normal((1, n, 3072)), jnp.bfloat16)
-    t_fq_bias = chain(lambda y: self_attention(y, attn_params, h, bias=bias1, impl="pallas"))
-    # raw kernel with no bias at all for reference
-    t_fq_none = chain(lambda y: self_attention(y, attn_params, h, bias=None, impl="pallas"))
 
     # full-bias-generation cost (the enable_cache=False inline path, per layer)
     lut = params["encoder"]["blocks"]["relpos_lut"]
