@@ -115,3 +115,18 @@ def test_assert_finite_guard():
     assert_finite({"a": np.ones(3)}, "ok")
     with pytest.raises(FloatingPointError, match="bad/a"):
         assert_finite({"a": np.array([1.0, np.inf])}, "bad")
+
+
+def test_prepare_image_bgr_nhwc_matches_bchw_path():
+    """prepare_image_bgr_nhwc is the same preprocessing as prepare_image_bgr
+    minus the BCHW transpose (the BatchParallelRunner batching entry)."""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    m = make_depthanythingv2_dpt(64, 1, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    bchw = np.asarray(m.prepare_image_bgr(img, 112))
+    nhwc = np.asarray(m.prepare_image_bgr_nhwc(img, 112))
+    assert nhwc.shape == (1, 112, 112, 3)
+    np.testing.assert_array_equal(nhwc, bchw.transpose(0, 2, 3, 1))
