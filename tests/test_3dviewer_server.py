@@ -410,3 +410,52 @@ def test_aspect_ratio_mode_serves_nonsquare_depth(model_and_dir):
     assert shapes["square"][0] == shapes["square"][1]
     h, w = shapes["ar"]
     assert w > h  # 128x96 input stays landscape in AR mode
+
+
+def test_glsl_static_validation_of_viewer_shaders():
+    """Both viewer shader programs pass the static ES 1.00 validator
+    (tools/glsl_check.py) — the no-GL-context substitute for compileShader:
+    declarations, varying linkage, precision, entry-point writes."""
+    from tools.glsl_check import check_program, extract_viewer_programs
+
+    js = open(osp.join(run_3dviewer.VIEWER_DIR, "viewer.js")).read()
+    programs = extract_viewer_programs(js)
+    assert {name for name, _, _ in programs} == {"main", "LINE"}
+    for name, vert, frag in programs:
+        assert check_program(vert, frag) == [], name
+
+
+def test_glsl_validator_catches_error_classes():
+    """The validator must actually detect the compile/link error classes it
+    claims to: undeclared identifiers, ES3-only tokens, missing precision,
+    missing gl_Position, and varying mismatches."""
+    from muggled_dpt_tpu.demo_helpers import ui  # noqa: F401  (repo import path sanity)
+    from tools.glsl_check import check_program, check_shader
+
+    ok_vert = "attribute vec2 aUV; varying vec2 vUV;\nvoid main() { vUV = aUV; gl_Position = vec4(aUV, 0.0, 1.0); }"
+    ok_frag = "precision mediump float; varying vec2 vUV;\nvoid main() { gl_FragColor = vec4(vUV, 0.0, 1.0); }"
+    assert check_program(ok_vert, ok_frag) == []
+
+    errs = check_shader(ok_vert.replace("gl_Position = vec4(aUV", "gl_Position = vec4(aUVtypo"), "vertex")
+    assert any("aUVtypo" in e for e in errs)
+
+    errs = check_shader("precision mediump float; uniform sampler2D t; varying vec2 vUV;\n"
+                        "void main() { gl_FragColor = texture(t, vUV); }", "fragment")
+    assert any("ES 3.00" in e for e in errs)
+
+    errs = check_shader(ok_frag.replace("precision mediump float; ", ""), "fragment")
+    assert any("precision" in e for e in errs)
+
+    errs = check_shader("attribute vec2 aUV;\nvoid main() { vec2 x = aUV; }", "vertex")
+    assert any("gl_Position" in e for e in errs)
+
+    # fragment reads a varying the vertex never writes; and a type mismatch
+    errs = check_program(ok_vert.replace("varying vec2 vUV;", "").replace("vUV = aUV; ", ""), ok_frag)
+    assert any("never written" in e for e in errs)
+    errs = check_program(ok_vert.replace("varying vec2 vUV", "varying vec3 vUV").replace(
+        "vUV = aUV", "vUV = vec3(aUV, 0.0)"), ok_frag)
+    assert any("type mismatch" in e for e in errs)
+
+    # unbalanced braces
+    errs = check_shader(ok_vert + "}", "vertex")
+    assert any("unbalanced" in e for e in errs)
