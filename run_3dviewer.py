@@ -289,6 +289,8 @@ def main():
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (see docs/performance.md)")
+    parser.add_argument("--int8-full", dest="int8_full", action="store_true",
+                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
     parser.add_argument("-nc", "--no_cache", action="store_true", help="Disable per-grid aux caching to reduce HBM usage")
     parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Process at the input's aspect ratio")
@@ -330,9 +332,9 @@ def main():
         model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
         dtype=device_config["dtype"],
     )
-    if args.int8:
+    if args.int8 or args.int8_full:
         try:
-            model = model.quantize_encoder_int8()
+            model = model.quantize_encoder_int8(include_reassembly=args.int8_full)
             print("  int8 encoder tier enabled")
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")

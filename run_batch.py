@@ -44,6 +44,8 @@ def parse_args():
     parser.add_argument("-d", "--device", default=None, help="Device backend ('cpu' or default accelerator)")
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier")
+    parser.add_argument("--int8-full", dest="int8_full", action="store_true",
+                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
     parser.add_argument("-dp", "--data-parallel", dest="data_parallel", default=None, type=int,
                         help="Width of the mesh's data axis — frames per step per --per-chip-batch "
                              "(default: all visible devices)")
@@ -106,9 +108,9 @@ def main():
     device_config = make_device_config(use_float32=args.use_float32)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
     _, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"])
-    if args.int8:
+    if args.int8 or args.int8_full:
         try:
-            model = model.quantize_encoder_int8()
+            model = model.quantize_encoder_int8(include_reassembly=args.int8_full)
             print("  int8 encoder tier enabled")
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")

@@ -40,6 +40,8 @@ def parse_args():
     parser.add_argument("-u", "--prefer_unstable_f16", action="store_true", help="Prefer float16 over bfloat16")
     parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (DA/BEiT; see docs/performance.md)")
+    parser.add_argument("--int8-full", dest="int8_full", action="store_true",
+                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Keep original aspect ratio")
     parser.add_argument("-b", "--base_size_px", default=None, type=int, help="Override base model size")
     parser.add_argument("--crop", action="store_true", help="Interactively crop before inference")
@@ -98,9 +100,9 @@ def main():
     model_config, dpt_model = make_dpt_from_state_dict(
         model_path, enable_cache=False, enable_optimizations=not args.no_optimization, dtype=device_config["dtype"]
     )
-    if args.int8:
+    if args.int8 or args.int8_full:
         try:
-            dpt_model = dpt_model.quantize_encoder_int8()
+            dpt_model = dpt_model.quantize_encoder_int8(include_reassembly=args.int8_full)
             print("  int8 encoder tier enabled")
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")

@@ -42,6 +42,8 @@ def parse_args():
     parser.add_argument("-u", "--prefer_unstable_f16", action="store_true")
     parser.add_argument("-z", "--no_optimization", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (DA/BEiT; see docs/performance.md)")
+    parser.add_argument("--int8-full", dest="int8_full", action="store_true",
+                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true")
     parser.add_argument("-sync", "--use_sync", action="store_true", help="Block on every frame (accurate timing)")
     parser.add_argument(
@@ -77,9 +79,9 @@ def main():
         model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
         dtype=device_config["dtype"],
     )
-    if args.int8:
+    if args.int8 or args.int8_full:
         try:
-            dpt_model = dpt_model.quantize_encoder_int8()
+            dpt_model = dpt_model.quantize_encoder_int8(include_reassembly=args.int8_full)
             print("  int8 encoder tier enabled")
         except NotImplementedError as e:
             print(f"  --int8 unavailable for this family ({e}); using dense path")
