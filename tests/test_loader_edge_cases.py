@@ -80,3 +80,57 @@ def test_safetensors_checkpoint(tmp_path):
     assert config["features_per_token"] == 64
     depth = np.asarray(model.inference(np.zeros((120, 160, 3), np.uint8)))
     assert depth.shape == (1, 112, 112)
+
+
+def test_truncated_checkpoint_raises_cleanly(tmp_path):
+    """A corrupted/truncated .pt must fail with a real exception (not hang or
+    return garbage); the zip path and the legacy fallback both get exercised."""
+    import pytest
+
+    from muggled_dpt_tpu.checkpoints.pt_loader import load_state_dict
+
+    sd = {"pretrained.cls_token": torch.zeros(1, 1, 8)}
+    good = tmp_path / "ok.pt"
+    torch.save(sd, str(good))
+    raw = good.read_bytes()
+
+    truncated = tmp_path / "truncated.pt"
+    truncated.write_bytes(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        load_state_dict(str(truncated))
+
+    garbage = tmp_path / "garbage.pt"
+    garbage.write_bytes(b"\x00" * 256)
+    with pytest.raises(Exception):
+        load_state_dict(str(garbage))
+
+
+def test_wrong_family_weights_raise_on_strict_load(tmp_path):
+    """Forcing the wrong family (model_type override) onto a checkpoint must
+    raise from config inference / strict conversion, not build a broken model."""
+    import pytest
+
+    from muggled_dpt_tpu.checkpoints.random_init import random_original_depth_anything_state_dict
+    from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
+
+    cfg = {"features_per_token": 64, "num_blocks": 4, "reassembly_features_list": [8, 16, 32, 64],
+           "fusion_channels": 16, "patch_size_px": 14, "base_patch_grid_hw": (8, 8)}
+    sd = random_original_depth_anything_state_dict(cfg, seed=1)
+    ckpt = tmp_path / "depth_anything_v2_tiny.pt"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(ckpt))
+
+    with pytest.raises(Exception):
+        make_dpt_from_state_dict(str(ckpt), model_type="beit")
+
+
+def test_unknown_model_type_message(tmp_path):
+    """An unrecognizable checkpoint reports the accepted types (reference
+    make_dpt.py behavior) instead of a KeyError deep in conversion."""
+    import pytest
+
+    from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
+
+    ckpt = tmp_path / "mystery.pt"
+    torch.save({"some.unrelated.key": torch.zeros(3)}, str(ckpt))
+    with pytest.raises(NotImplementedError, match="model type"):
+        make_dpt_from_state_dict(str(ckpt))
