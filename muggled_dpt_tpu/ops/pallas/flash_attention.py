@@ -3,8 +3,8 @@
 Serves the attention flavors in this framework (SURVEY.md §7 kernel ①/③):
 * DINOv2 full self-attention (Depth-Anything V1/V2) — no bias
 * BEiT self-attention — additive relative-position bias per (head, q, k)
-* (SwinV2 windows use the XLA path; window areas are small enough that the
-  materialized logits already live in VMEM-sized tiles.)
+* (SwinV2 windows run their own batched kernel, window_attention.py, with
+  the CPB bias + shift mask folded into one additive term.)
 
 Two kernels, picked by sequence length:
 
@@ -45,15 +45,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-try:  # pltpu only resolves on TPU-enabled builds
-    from jax.experimental.pallas import tpu as pltpu
+from ._common import _HAS_PLTPU, NEG_INF, pltpu, round_up as _round_up, tpu_kernels_available
 
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
 
-NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # the online kernel works in exp2 domain (see below)
 
 # One-pass cutoff: the f32 logit block (block_q x N_pad) plus q/k/v/o must fit
@@ -64,10 +58,7 @@ ONE_PASS_LOGIT_BYTES = 16 * 1024 * 1024
 
 
 def flash_attention_available() -> bool:
-    try:
-        return _HAS_PLTPU and jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return tpu_kernels_available()
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +171,37 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
         # well under the 128 MB physical VMEM
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+    if bias is not None or bias_stack is not None:
+        # Biased-path VMEM budget: the hpp unrolled f32 logit tiles PLUS the
+        # double-buffered (hpp, n_pad, n_pad) bias blocks must fit the scoped
+        # limit. Near the n_pad=2048 one-pass boundary an f32 bias does not —
+        # carry over-budget biases in bf16 instead (the serving aux caches
+        # are bf16 already; the logit change is below bf16 rounding of the
+        # bias itself).
+        logit_bytes = hpp * n_pad * n_pad * 4
+        bsrc = bias_stack if bias_stack is not None else bias
+        bias_db_bytes = 2 * hpp * n_pad * n_pad * bsrc.dtype.itemsize
+        if bsrc.dtype.itemsize > 2 and logit_bytes + bias_db_bytes > 80 * 1024 * 1024:
+            bsrc = bsrc.astype(jnp.bfloat16)
+            bias_db_bytes //= 2
+            if bias_stack is not None:
+                bias_stack = bsrc
+            else:
+                bias = bsrc
+        need = logit_bytes + bias_db_bytes + 8 * 1024 * 1024  # qkv/out slabs + margin
+        assert need <= 120 * 1024 * 1024, (
+            f"fused-qkv biased path needs ~{need >> 20} MB VMEM at n_pad={n_pad}, hpp={hpp} "
+            "(over the 128 MB physical budget); use flash_attention's (B,N,H,D) wrapper instead"
+        )
+        if _HAS_PLTPU and not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=max(100 * 1024 * 1024, need)
+            )
+
     if bias_stack is not None:
+        assert pltpu is not None, (
+            "bias_stack path needs pallas-TPU (PrefetchScalarGridSpec); pltpu import failed"
+        )
         assert bias is None and layer is not None
         assert bias_stack.ndim == 4 and bias_stack.shape[1] == num_heads
         assert bias_stack.shape[-2:] == (n_pad, n_pad), (
@@ -213,7 +234,7 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     args = [qkvp]
     kernel = functools.partial(_onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp)
     if bias is not None:
-        bp = jnp.broadcast_to(_fit_bias(bias, n_pad, n_pad), (b, num_heads, n_pad, n_pad))
+        bp = jnp.broadcast_to(_fit_bias(bias, n_pad, n_pad, n, n), (b, num_heads, n_pad, n_pad))
         in_specs.append(pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi: (bi, gi, 0, 0)))
         args.append(bp)
 
@@ -309,15 +330,21 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_
             o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
-
-
-def _fit_bias(bias, rows, cols):
+def _fit_bias(bias, rows, cols, n_rows=None, n_cols=None):
     """Shape a bias's trailing two dims to exactly (rows, cols) — a no-op when
     it already matches (the pre-padded cached-stack fast path), a slice when
     it is larger, a zero-pad when smaller. Padded key columns are masked to
-    -inf by the kernels, so pad values are irrelevant."""
+    -inf by the kernels, so pad values are irrelevant.
+
+    Size-1 trailing dims are first broadcast over the LOGICAL sequence
+    lengths (n_rows / n_cols) — the broadcastable-bias contract of
+    jax.nn.dot_product_attention; zero-padding a broadcast dim instead would
+    silently apply the bias to only query row 0 / key column 0."""
+    br, bc = bias.shape[-2], bias.shape[-1]
+    if br == 1 and (n_rows or rows) > 1:
+        bias = jnp.broadcast_to(bias, (*bias.shape[:-2], n_rows or rows, bc))
+    if bc == 1 and (n_cols or cols) > 1:
+        bias = jnp.broadcast_to(bias, (*bias.shape[:-2], bias.shape[-2], n_cols or cols))
     br, bc = bias.shape[-2], bias.shape[-1]
     if (br, bc) == (rows, cols):
         return bias
@@ -354,7 +381,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         args = [qp, kp, vp]
         kernel = functools.partial(_onepass_kernel, kv_len=n, exp2_domain=exp2_domain)
         if bias is not None:
-            bp = _fit_bias(bias, n_pad_q, n_pad128)
+            bp = _fit_bias(bias, n_pad_q, n_pad128, n, n)
             in_specs.append(pl.BlockSpec((1, block_q, n_pad128), lambda b, i: (b, i, 0)))
             args.append(bp)
 
@@ -426,7 +453,7 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
             base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, l_ref=l_ref)
     if bias is not None:
-        bp = _fit_bias(bias, n_pad_q, n_pad_k)
+        bp = _fit_bias(bias, n_pad_q, n_pad_k, n, n)
         bp = (bp.astype(jnp.float32) * LOG2E).astype(bp.dtype)
         in_specs.append(pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
         args.append(bp)
@@ -438,6 +465,11 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
             def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_ref, l_ref, acc_ref):
                 base_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, l_ref=l_ref, bias_ref=b_ref)
 
+    if pltpu is None:
+        raise RuntimeError(
+            "online flash kernel needs pallas-TPU scratch (pltpu import failed); "
+            "fall back to jax.nn.dot_product_attention for N > ONE_PASS_MAX_KV"
+        )
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max (col 0 used)
         pltpu.VMEM((block_q, acc_cols), jnp.float32),  # acc (+ fused l column)

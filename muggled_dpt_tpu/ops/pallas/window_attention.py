@@ -22,21 +22,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
-
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    _HAS_PLTPU = False
-
-NEG_INF = -1e30
+from ._common import NEG_INF, round_up as _round_up, tpu_kernels_available
 
 
 def window_flash_available() -> bool:
-    try:
-        return _HAS_PLTPU and jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return tpu_kernels_available()
 
 
 def _kernel(q_ref, k_ref, v_ref, cpb_ref, mask_ref, o_ref, *, kv_len):
@@ -61,10 +51,6 @@ def _kernel(q_ref, k_ref, v_ref, cpb_ref, mask_ref, o_ref, *, kv_len):
     o_ref[0] = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
