@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Measure the int8 serving tiers on the chip: encoder-only vs full
+(include_reassembly) for DA ViT-L and ViT-Giant at 518 max-side.
+
+Writes one line per (model, tier) with chip-throughput latency
+(dispatch-queue amortized, CLAUDE.md measurement rules). Numbers land in
+docs/performance.md ("int8 reassembly extension").
+
+Budgeting on this environment (see memory/CLAUDE.md): the giant's synthetic
+build is ~25-30 min of single-core host RNG/convert and its params upload is
+GBs over the relayed tunnel — run with no interfering CPU work and allow
+>= 90 min wall. `--vitl-only` measures just ViT-L (~10 min)."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def chip_ms(run_one, probe, iters=60):
+    results = [run_one() for _ in range(iters)]
+    np.asarray(probe(results[-1]))
+    t0 = time.perf_counter()
+    results = [run_one() for _ in range(iters)]
+    np.asarray(probe(results[-1]))
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+CONFIGS = {
+    "vitl": dict(features_per_token=1024, num_heads=16, num_blocks=24,
+                 reassembly_features_list=(256, 512, 1024, 1024), fusion_channels=256),
+    "giant": dict(features_per_token=1536, num_heads=24, num_blocks=40,
+                  reassembly_features_list=(1536,) * 4, fusion_channels=384, is_giant=True),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
+    ap.add_argument("--iters", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+    from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (720, 1280, 3), np.uint8)
+
+    names = ["vitl"] if args.vitl_only else ["vitl", "giant"]
+    for name in names:
+        t0 = time.time()
+        m = make_depthanythingv2_dpt(base_patch_grid_hw=(37, 37), patch_size_px=14,
+                                     dtype=jnp.bfloat16, **CONFIGS[name])
+        print(f"[{name}] built in {time.time() - t0:.0f}s", flush=True)
+        xd = jax.device_put(m.prepare_image_bgr_nhwc(img, 518))
+        fwd = m.spec["forward"]
+        for tier, q in (
+            ("bf16 dense", m),
+            ("int8+qkv", m.quantize_encoder_int8(include_qkv=True)),
+            ("int8+qkv+reassembly", m.quantize_encoder_int8(include_qkv=True, include_reassembly=True)),
+        ):
+            params = q.params
+            ms = chip_ms(lambda: fwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)
+            print(f"{name:6s} {tier:22s} {ms:7.2f} ms", flush=True)
+        del m
+
+
+if __name__ == "__main__":
+    main()
