@@ -8,6 +8,16 @@ import cv2
 import numpy as np
 
 
+def norm_crop_to_slices(img_hw, xy1xy2_norm):
+    """Normalized ((x1,y1),(x2,y2)) crop -> (y_slice, x_slice) for a frame of
+    shape img_hw (shared by the crop UI and the headless persisted-crop path)."""
+    h, w = int(img_hw[0]), int(img_hw[1])
+    (x1n, y1n), (x2n, y2n) = xy1xy2_norm
+    y_slice = slice(int(round(y1n * h)), max(int(round(y2n * h)), int(round(y1n * h)) + 1))
+    x_slice = slice(int(round(x1n * w)), max(int(round(x2n * w)), int(round(x1n * w)) + 1))
+    return (y_slice, x_slice)
+
+
 def run_crop_ui(image_bgr: np.ndarray, initial_xy1xy2_norm=None, window_title="Crop - drag box, ENTER to accept"):
     """Blocking crop selection. Returns ((y_slice, x_slice), xy1xy2_norm)."""
     h, w = image_bgr.shape[:2]
@@ -54,10 +64,7 @@ def run_crop_ui(image_bgr: np.ndarray, initial_xy1xy2_norm=None, window_title="C
         y0, y1 = sorted((y0, y1))
         xy1xy2_norm = ((x0 / dw, y0 / dh), (x1 / dw, y1 / dh))
 
-    (x1n, y1n), (x2n, y2n) = xy1xy2_norm
-    y_slice = slice(int(round(y1n * h)), max(int(round(y2n * h)), int(round(y1n * h)) + 1))
-    x_slice = slice(int(round(x1n * w)), max(int(round(x2n * w)), int(round(x1n * w)) + 1))
-    return (y_slice, x_slice), xy1xy2_norm
+    return norm_crop_to_slices((h, w), xy1xy2_norm), xy1xy2_norm
 
 
 def apply_crop(image_bgr: np.ndarray, xy1xy2_norm) -> np.ndarray:

@@ -41,6 +41,20 @@ def make_device_config(device_str: str | None = None, use_float32: bool = False,
     return {"device": device_str, "dtype": dtype}
 
 
+def maybe_quantize_int8(model, int8: bool, int8_full: bool = False):
+    """Shared --int8 / --int8-full CLI handling for the apps: apply the int8
+    serving tier (optionally incl. the reassembly GEMMs) with the standard
+    unsupported-family fallback message. Returns the (possibly new) model."""
+    if not (int8 or int8_full):
+        return model
+    try:
+        model = model.quantize_encoder_int8(include_reassembly=int8_full)
+        print("  int8 encoder tier enabled" + (" (+ reassembly GEMMs)" if int8_full else ""))
+    except NotImplementedError as e:
+        print(f"  --int8 unavailable for this family ({e}); using dense path")
+    return model
+
+
 def print_config_feedback(model_path: str, device_config: dict, use_cache: bool, image_bchw=None) -> None:
     """Startup feedback mirroring the reference's config printout
     (misc.py:101-137), with device memory stats where available."""

@@ -30,7 +30,7 @@ import numpy as np
 from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
 from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
 from muggled_dpt_tpu.demo_helpers.loading import ask_for_model_path, ask_for_path
-from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthreading
+from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthreading, maybe_quantize_int8
 from muggled_dpt_tpu.demo_helpers.postprocess import normalize_01, remove_infinities
 
 VIEWER_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "muggled_dpt_tpu", "demo_helpers", "viewer3d")
@@ -184,7 +184,7 @@ def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, 
         packed[..., 0] = d24 & 255
 
     depth_01 = depth if not is_metric else cv2.normalize(depth, None, 0.0, 1.0, cv2.NORM_MINMAX)
-    alpha = (mask or MaskSource(None)).get_mask_uint8(depth_01)
+    alpha = (mask or MaskSource(None)).get_mask_uint8(depth_01)  # direct callers may pass None
     # JPEG has no alpha channel — lossy depth ships without the edge mask
     depth_img = packed if _is_lossy(depth_ext) else np.dstack([packed, alpha])
 
@@ -198,6 +198,8 @@ def encode_frame(model, source, idx, max_side, is_metric, mask=None, crop=None, 
 
 def make_handler(model, source, max_side, is_metric, mask=None, crop=None,
                  use_square=True, rgb_ext=".jpg", depth_ext=".png"):
+    mask = mask or MaskSource(None)  # build the edge-fallback provider once
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -332,17 +334,16 @@ def main():
         model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
         dtype=device_config["dtype"],
     )
-    if args.int8 or args.int8_full:
-        try:
-            model = model.quantize_encoder_int8(include_reassembly=args.int8_full)
-            print("  int8 encoder tier enabled")
-        except NotImplementedError as e:
-            print(f"  --int8 unavailable for this family ({e}); using dense path")
+    model = maybe_quantize_int8(model, args.int8, args.int8_full)
     is_metric = bool(config.get("is_metric", False))
     max_side = args.base_size_px or model.default_size_px
     use_square = not args.use_aspect_ratio
-    rgb_ext = args.encode_image.lower() if args.encode_image.startswith(".") else f".{args.encode_image.lower()}"
-    depth_ext = args.encode_depth.lower() if args.encode_depth.startswith(".") else f".{args.encode_depth.lower()}"
+
+    def norm_ext(e: str) -> str:
+        e = e.lower()
+        return e if e.startswith(".") else f".{e}"
+
+    rgb_ext, depth_ext = norm_ext(args.encode_image), norm_ext(args.encode_depth)
 
     source = InputSource(str(input_path))
     mask = MaskSource(args.mask_path)

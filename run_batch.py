@@ -26,7 +26,7 @@ import numpy as np
 from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
 from muggled_dpt_tpu.demo_helpers.loading import PathCarousel, ask_for_model_path, ask_for_path
 from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
-from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthreading
+from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthreading, maybe_quantize_int8
 from muggled_dpt_tpu.demo_helpers.postprocess import normalize_01, remove_infinities
 from muggled_dpt_tpu.demo_helpers.saving import get_save_folder
 from muggled_dpt_tpu.demo_helpers.ui import ColormapsBar
@@ -108,12 +108,7 @@ def main():
     device_config = make_device_config(use_float32=args.use_float32)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
     _, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"])
-    if args.int8 or args.int8_full:
-        try:
-            model = model.quantize_encoder_int8(include_reassembly=args.int8_full)
-            print("  int8 encoder tier enabled")
-        except NotImplementedError as e:
-            print(f"  --int8 unavailable for this family ({e}); using dense path")
+    model = maybe_quantize_int8(model, args.int8, args.int8_full)
 
     n_dev = len(jax.devices())
     tp = max(1, args.tensor_parallel)

@@ -18,7 +18,7 @@ from muggled_dpt_tpu.demo_helpers import ui
 from muggled_dpt_tpu.demo_helpers.crop_ui import run_crop_ui
 from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
 from muggled_dpt_tpu.demo_helpers.loading import PathCarousel, ask_for_model_path, ask_for_path
-from muggled_dpt_tpu.demo_helpers.misc import make_device_config, print_config_feedback, reduce_overthreading
+from muggled_dpt_tpu.demo_helpers.misc import make_device_config, print_config_feedback, reduce_overthreading, maybe_quantize_int8
 from muggled_dpt_tpu.demo_helpers.plane_fit import estimate_plane_of_best_fit
 from muggled_dpt_tpu.demo_helpers.postprocess import (
     convert_to_uint8,
@@ -100,12 +100,7 @@ def main():
     model_config, dpt_model = make_dpt_from_state_dict(
         model_path, enable_cache=False, enable_optimizations=not args.no_optimization, dtype=device_config["dtype"]
     )
-    if args.int8 or args.int8_full:
-        try:
-            dpt_model = dpt_model.quantize_encoder_int8(include_reassembly=args.int8_full)
-            print("  int8 encoder tier enabled")
-        except NotImplementedError as e:
-            print(f"  --int8 unavailable for this family ({e}); using dense path")
+    dpt_model = maybe_quantize_int8(dpt_model, args.int8, args.int8_full)
     print_config_feedback(model_path, device_config, use_cache=False)
 
     carousel = PathCarousel(image_path)

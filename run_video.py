@@ -19,7 +19,7 @@ from muggled_dpt_tpu.make_dpt import make_dpt_from_state_dict
 from muggled_dpt_tpu.demo_helpers import ui
 from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
 from muggled_dpt_tpu.demo_helpers.loading import ask_for_model_path, ask_for_video_path
-from muggled_dpt_tpu.demo_helpers.misc import AsyncResult, make_device_config, print_config_feedback, reduce_overthreading
+from muggled_dpt_tpu.demo_helpers.misc import AsyncResult, make_device_config, print_config_feedback, reduce_overthreading, maybe_quantize_int8
 from muggled_dpt_tpu.demo_helpers.postprocess import convert_to_uint8, histogram_equalization, normalize_01, remove_infinities
 from muggled_dpt_tpu.demo_helpers.saving import get_save_folder, make_save_name
 from muggled_dpt_tpu.demo_helpers.video import LoopingVideoReader
@@ -79,12 +79,7 @@ def main():
         model_path, enable_cache=not args.no_cache, enable_optimizations=not args.no_optimization,
         dtype=device_config["dtype"],
     )
-    if args.int8 or args.int8_full:
-        try:
-            dpt_model = dpt_model.quantize_encoder_int8(include_reassembly=args.int8_full)
-            print("  int8 encoder tier enabled")
-        except NotImplementedError as e:
-            print(f"  --int8 unavailable for this family ({e}); using dense path")
+    dpt_model = maybe_quantize_int8(dpt_model, args.int8, args.int8_full)
     print_config_feedback(model_path, device_config, use_cache=not args.no_cache)
 
     reader = LoopingVideoReader(video_source)
@@ -101,10 +96,9 @@ def main():
         if args.headless:
             # no display: reuse the persisted crop instead of the blocking UI
             if prev_crop:
-                h, w = first_frame.shape[:2]
-                (x1, y1), (x2, y2) = prev_crop
-                crop_slices = (slice(int(round(y1 * h)), max(int(round(y2 * h)), int(round(y1 * h)) + 1)),
-                               slice(int(round(x1 * w)), max(int(round(x2 * w)), int(round(x1 * w)) + 1)))
+                from muggled_dpt_tpu.demo_helpers.crop_ui import norm_crop_to_slices
+
+                crop_slices = norm_crop_to_slices(first_frame.shape[:2], prev_crop)
                 print(f"  --crop (headless): using persisted crop {prev_crop}")
             else:
                 print("  --crop ignored: headless mode and no persisted crop in history")

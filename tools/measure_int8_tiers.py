@@ -21,12 +21,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def chip_ms(run_one, probe, iters=60):
-    results = [run_one() for _ in range(iters)]
-    np.asarray(probe(results[-1]))
-    t0 = time.perf_counter()
-    results = [run_one() for _ in range(iters)]
-    np.asarray(probe(results[-1]))
-    return (time.perf_counter() - t0) / iters * 1000
+    from bench import chip_fps  # repo-root bench.py owns the methodology
+
+    return 1000.0 / chip_fps(run_one, probe, iters=iters)
 
 
 CONFIGS = {
