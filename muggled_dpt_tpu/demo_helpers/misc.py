@@ -48,7 +48,7 @@ def maybe_quantize_int8(model, int8: bool, int8_full: bool = False):
     if not (int8 or int8_full):
         return model
     try:
-        model = model.quantize_encoder_int8(include_reassembly=int8_full)
+        model = model.quantize_encoder_int8(include_neck=int8_full)
         print("  int8 encoder tier enabled" + (" (+ reassembly GEMMs)" if int8_full else ""))
     except NotImplementedError as e:
         print(f"  --int8 unavailable for this family ({e}); using dense path")

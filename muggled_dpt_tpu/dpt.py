@@ -80,7 +80,7 @@ class DPTModel:
         # bf16-rounding them would add ~0.3% per-channel error on top of the
         # int8 error — and the act_smooth inverse must cancel the f32 factor
         # folded into the weights exactly (ops/quant.py recipe)
-        if path and str(getattr(path[-1], "key", "")).endswith(("_kernel_scale", "_act_smooth")):
+        if path and str(getattr(path[-1], "key", "")).endswith(("_kernel_scale", "_kernel9_scale", "_act_smooth")):
             return a.dtype
         return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
 
@@ -222,7 +222,7 @@ class DPTModel:
 
     def quantize_encoder_int8(
         self, include_qkv: bool = False, calibration_images=None, max_side_length=None,
-        include_reassembly: bool = False,
+        include_neck: bool = False,
     ):
         """Opt-in int8 (w8a8) serving tier: returns a copy whose encoder
         transformer matmul weights are symmetric per-channel int8 (activations
@@ -279,15 +279,13 @@ class DPTModel:
             params["encoder"] = {**enc, "stages": stages}
         else:
             raise NotImplementedError("int8 tier: unrecognized encoder parameter layout")
-        if include_reassembly:
-            # extend the tier to the reassembly GEMMs (stage projections +
-            # fused resample taps); fusion/head convs stay dense — see
-            # ops/quant.quantize_reassembly_params
-            from .ops.quant import quantize_reassembly_params
+        if include_neck:
+            # extend the tier to the whole neck: reassembly GEMMs, fusion
+            # residual convs + out projections (shiftsum-GEMM q8 form) and
+            # the head convs — see ops/quant.quantize_neck_params
+            from .ops.quant import quantize_neck_params
 
-            stages = params.get("reassemble")
-            if stages:
-                params = {**params, "reassemble": quantize_reassembly_params(stages)}
+            params = quantize_neck_params(params)
         return DPTModel(params, self.config, self.spec, dtype=self._dtype)
 
 

@@ -82,8 +82,16 @@ def reassemble_forward(stage_tokens, patch_grid_hw, params_list, scales, readout
 
 
 def residual_conv_unit(x, p):
-    """ReLU-Conv3x3-ReLU-Conv3x3 + skip (fusion_model.py:187-222)."""
+    """ReLU-Conv3x3-ReLU-Conv3x3 + skip (fusion_model.py:187-222). The int8
+    tier stores the convs in shiftsum-GEMM q8 form (ops/quant.py)."""
     h = jax.nn.relu(x)
+    if "conv1_kernel9_q8" in p:
+        from ..ops.quant import conv3x3_shiftsum_w8a8
+
+        h = conv3x3_shiftsum_w8a8(h, p["conv1_kernel9_q8"], p["conv1_kernel9_scale"], p["conv1_bias"])
+        h = jax.nn.relu(h)
+        h = conv3x3_shiftsum_w8a8(h, p["conv2_kernel9_q8"], p["conv2_kernel9_scale"], p["conv2_bias"])
+        return h + x
     h = conv2d(h, p["conv1_kernel"], p["conv1_bias"], padding=1)
     h = jax.nn.relu(h)
     h = conv2d(h, p["conv2_kernel"], p["conv2_bias"], padding=1)
@@ -95,6 +103,10 @@ def _upsample_projection(x, p):
     (fusion_model.py:159-184)."""
     x = residual_conv_unit(x, p["res2"])
     x = resize_2d(x, resize_output_size(x.shape[1:3], 2.0), mode="bilinear", align_corners=True)
+    if "out_kernel_q8" in p:
+        from ..ops.quant import linear_w8a8
+
+        return linear_w8a8(x, p["out_kernel_q8"], p["out_kernel_scale"], p["out_bias"])
     return linear(x, p["out_kernel"], p["out_bias"])
 
 
@@ -121,11 +133,21 @@ def fusion_forward(reassembly_maps, params_blocks, input_scales=None):
 def head_forward(fused_nhwc, p, upsample_factor: float, is_metric: bool):
     """Monocular depth head (head_model.py:61-106): Conv3x3 C->C/2 -> upsample
     -> Conv3x3->32 -> ReLU -> Conv1x1->1 -> ReLU (or Sigmoid for metric)."""
-    x = conv2d(fused_nhwc, p["conv_in_kernel"], p["conv_in_bias"], padding=1)
+    if "conv_in_kernel9_q8" in p:
+        from ..ops.quant import conv3x3_shiftsum_w8a8
+
+        x = conv3x3_shiftsum_w8a8(fused_nhwc, p["conv_in_kernel9_q8"], p["conv_in_kernel9_scale"], p["conv_in_bias"])
+    else:
+        x = conv2d(fused_nhwc, p["conv_in_kernel"], p["conv_in_bias"], padding=1)
     out_hw = resize_output_size(x.shape[1:3], upsample_factor)
     x = resize_2d(x, out_hw, mode="bilinear", align_corners=True)
     # ->32 channels wastes MXU lanes in a direct conv; see conv3x3_shiftsum
-    x = conv3x3_shiftsum(x, p["conv_mid_kernel"], p["conv_mid_bias"])
+    if "conv_mid_kernel9_q8" in p:
+        from ..ops.quant import conv3x3_shiftsum_w8a8
+
+        x = conv3x3_shiftsum_w8a8(x, p["conv_mid_kernel9_q8"], p["conv_mid_kernel9_scale"], p["conv_mid_bias"])
+    else:
+        x = conv3x3_shiftsum(x, p["conv_mid_kernel"], p["conv_mid_bias"])
     x = jax.nn.relu(x)
     x = linear(x, p["proj_kernel"], p["proj_bias"])
     x = jax.nn.sigmoid(x) if is_metric else jax.nn.relu(x)

@@ -150,9 +150,42 @@ def quantize_block_params(stacked_blocks: dict, subset=QUANTIZABLE, smoothing: d
     return out
 
 
+def quantize_conv3x3_weight(kernel):
+    """3x3 conv kernel (3, 3, ci, co) -> int8 shiftsum-matmul form:
+    (ci, 9co) q8 + (1, 9co) scale. The shiftsum decomposition
+    (ops/nn.py:conv3x3_shiftsum) turns the conv into a per-pixel matmul, so
+    the exact per-token activation recipe applies — each output pixel's 9 tap
+    contributions are dequantized with their own pixels' scales BEFORE the
+    shifted adds (a direct int8 conv would need one shared scale across all
+    9 taps). FLOP-neutral vs the conv; the s8 MXU rate is the win."""
+    k = jnp.asarray(kernel, jnp.float32)
+    ci, co = k.shape[2], k.shape[3]
+    w9 = k.transpose(2, 0, 1, 3).reshape(ci, 9 * co)
+    return quantize_weight(w9)
+
+
+def conv3x3_shiftsum_w8a8(x, w9_q8, w9_scale, bias=None):
+    """int8 3x3 SAME conv in shiftsum form (see quantize_conv3x3_weight):
+    per-token-quantized x @ (ci, 9co) s8 matmul -> f32 dequant -> the same
+    9 shifted adds as ops/nn.py:conv3x3_shiftsum."""
+    b, h, w, ci = x.shape
+    co = w9_q8.shape[-1] // 9
+    y9 = linear_w8a8(x.reshape(b, h * w, ci), w9_q8, w9_scale).reshape(b, h, w, 9, co)
+    y9 = jnp.pad(y9, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    out = None
+    for tap in range(9):
+        dy, dx = divmod(tap, 3)
+        sl = jax.lax.slice(y9, (0, dy, dx, tap, 0), (b, dy + h, dx + w, tap + 1, co))
+        out = sl if out is None else out + sl
+    out = out[:, :, :, 0, :]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def quantize_reassembly_params(stages):
     """int8 tier for the reassembly neck (`DPTModel.quantize_encoder_int8`
-    with include_reassembly=True): the per-stage 1x1 projection and — when
+    with include_neck=True): the per-stage 1x1 projection and — when
     the bf16 fused resample+fuse precompute is present — its phase-decomposed
     tap matrices are plain GEMMs, quantized with the same per-output-channel
     recipe as the encoder (the ViT-Giant's all-1536 reassembly is the main
@@ -178,6 +211,57 @@ def quantize_reassembly_params(stages):
             p["fused"] = fused
         new_stages.append(p)
     return new_stages
+
+
+def _quantize_conv3x3_entry(p: dict, name: str) -> None:
+    """Replace p[f'{name}_kernel'] with shiftsum q8 + scale (in place)."""
+    key = name + "_kernel"
+    if key in p:
+        q, sc = quantize_conv3x3_weight(p.pop(key))
+        p[name + "_kernel9_q8"], p[name + "_kernel9_scale"] = q, sc
+
+
+def quantize_fusion_params(blocks):
+    """int8 tier for the fusion blocks: the residual-conv-unit 3x3 convs go
+    to shiftsum-GEMM form, the 1x1 out projections to linear q8. Structure
+    per models/dpt_neck.py:fusion_forward (res1/res2 units + out_kernel)."""
+    new_blocks = []
+    for blk in blocks:
+        blk = {k: (dict(v) if isinstance(v, dict) else v) for k, v in blk.items()}
+        for unit in ("res1", "res2"):
+            if unit in blk:
+                _quantize_conv3x3_entry(blk[unit], "conv1")
+                _quantize_conv3x3_entry(blk[unit], "conv2")
+        if "out_kernel" in blk:
+            q, sc = quantize_weight(blk.pop("out_kernel"))
+            blk["out_kernel_q8"], blk["out_kernel_scale"] = q, sc
+        new_blocks.append(blk)
+    return new_blocks
+
+
+def quantize_head_params(head: dict) -> dict:
+    """int8 tier for the depth head: conv_in and conv_mid 3x3s go to
+    shiftsum-GEMM form. The final 1x1 projection stays dense — it feeds the
+    output activation directly and costs ~nothing (32 -> 1 channels)."""
+    head = dict(head)
+    _quantize_conv3x3_entry(head, "conv_in")
+    _quantize_conv3x3_entry(head, "conv_mid")
+    return head
+
+
+def quantize_neck_params(params: dict) -> dict:
+    """Full-neck int8 (DPTModel.quantize_encoder_int8 include_neck=True):
+    reassembly GEMMs + fusion convs + head convs. Returns a new params dict;
+    sections a family lacks (e.g. SwinV2's conv-only reassembly) pass
+    through untouched."""
+    params = dict(params)
+    if params.get("reassemble"):
+        params["reassemble"] = quantize_reassembly_params(params["reassemble"])
+    if params.get("fusion"):
+        params["fusion"] = quantize_fusion_params(params["fusion"])
+    if params.get("head"):
+        params["head"] = quantize_head_params(params["head"])
+    return params
 
 
 def compute_smoothing(stacked_blocks: dict, act_stats: dict, subset=QUANTIZABLE, alpha: float = 0.5) -> dict:

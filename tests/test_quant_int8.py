@@ -209,35 +209,42 @@ def test_int8_fused_reassembly_taps_close_to_dense():
     assert rel < 2e-2, rel
 
 
-def test_int8_include_reassembly_end_to_end():
-    """Full-tier model (encoder + reassembly GEMMs quantized) stays close to
-    the bf16 model and keeps the q8 taps in its serving params."""
+def test_int8_include_neck_end_to_end():
+    """Full-tier model (encoder + reassembly + fusion + head GEMMs quantized)
+    stays close to the bf16 model and keeps the q8 forms in its params."""
     m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.bfloat16)
-    q = m.quantize_encoder_int8(include_reassembly=True)
+    q = m.quantize_encoder_int8(include_neck=True)
     for p in q.params["reassemble"]:
         assert "proj_kernel_q8" in p and "proj_kernel" not in p
         if "fused" in p:
             assert any(k.endswith("_q8") for k in p["fused"])
+    for blk in q.params["fusion"]:
+        assert "out_kernel_q8" in blk and "out_kernel" not in blk
+        assert "conv1_kernel9_q8" in blk["res2"] and "conv1_kernel" not in blk["res2"]
+        # q8 dequant scales must stay f32 through the facade's dtype cast
+        assert blk["res2"]["conv1_kernel9_scale"].dtype == jnp.float32
+    assert "conv_in_kernel9_q8" in q.params["head"] and "conv_mid_kernel9_q8" in q.params["head"]
+    assert "proj_kernel" in q.params["head"]  # final 1x1 stays dense
     img = np.random.default_rng(2).integers(0, 256, (120, 160, 3), np.uint8)
     d0 = np.asarray(m.inference(img), np.float32)
     d1 = np.asarray(q.inference(img), np.float32)
     assert d1.shape == d0.shape and np.isfinite(d1).all()
     absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
     assert absrel < 3e-2, absrel
-    # SwinV2 stages have no proj/fused GEMMs -> include_reassembly is a no-op
+    # SwinV2 stages have no proj/fused GEMMs -> include_neck is a no-op
     s = make_swinv2_dpt((16, 32, 64, 128), (2, 4, 4, 8), (2, 2, 2, 2), (16, 16), (4, 4), (None,) * 4, 16)
-    sq = s.quantize_encoder_int8(include_reassembly=True)
+    sq = s.quantize_encoder_int8(include_neck=True)
     d = np.asarray(sq.inference(img), np.float32)
     assert np.isfinite(d).all()
 
 
-def test_int8_include_reassembly_beit():
+def test_int8_include_neck_beit():
     """BEiT's reassembly adds the 2F->F readout-project GEMM; the full tier
     quantizes it alongside proj/fused and stays close to bf16."""
     from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
 
     m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.bfloat16)
-    q = m.quantize_encoder_int8(include_reassembly=True)
+    q = m.quantize_encoder_int8(include_neck=True)
     for p in q.params["reassemble"]:
         assert "kernel_q8" in p["readout"] and "kernel" not in p["readout"]
     img = np.random.default_rng(3).integers(0, 256, (120, 160, 3), np.uint8)
@@ -245,3 +252,25 @@ def test_int8_include_reassembly_beit():
     d1 = np.asarray(q.inference(img), np.float32)
     absrel = np.mean(np.abs(d1 - d0)) / max(np.abs(d0).mean(), 1e-9)
     assert np.isfinite(d1).all() and absrel < 3e-2, absrel
+
+
+def test_int8_shiftsum_conv_close_to_dense():
+    """conv3x3_shiftsum_w8a8 vs the dense conv: the shiftsum decomposition
+    keeps the exact per-token activation recipe (each tap dequantized with
+    its own pixel's scale before the shifted adds)."""
+    from muggled_dpt_tpu.ops.nn import conv2d
+    from muggled_dpt_tpu.ops.quant import conv3x3_shiftsum_w8a8, quantize_conv3x3_weight
+
+    rng = np.random.default_rng(7)
+    ci, co = 32, 24
+    kernel = jnp.asarray(rng.normal(0, 0.2, (3, 3, ci, co)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.1, (co,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1.0, (1, 9, 11, ci)), jnp.bfloat16)
+
+    dense = np.asarray(conv2d(x, kernel, bias, padding=1), np.float32)
+    q, sc = quantize_conv3x3_weight(kernel)
+    assert q.shape == (ci, 9 * co) and q.dtype == jnp.int8
+    got = np.asarray(conv3x3_shiftsum_w8a8(x, q, sc, bias), np.float32)
+    assert got.shape == dense.shape
+    rel = np.abs(got - dense).mean() / max(np.abs(dense).mean(), 1e-9)
+    assert rel < 2e-2, rel

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Measure the int8 serving tiers on the chip: encoder-only vs full
-(include_reassembly) for DA ViT-L and ViT-Giant at 518 max-side.
+(include_neck) for DA ViT-L and ViT-Giant at 518 max-side.
 
 Writes one line per (model, tier) with chip-throughput latency
 (dispatch-queue amortized, CLAUDE.md measurement rules). Numbers land in
@@ -61,7 +61,7 @@ def main():
         for tier, q in (
             ("bf16 dense", m),
             ("int8+qkv", m.quantize_encoder_int8(include_qkv=True)),
-            ("int8+qkv+reassembly", m.quantize_encoder_int8(include_qkv=True, include_reassembly=True)),
+            ("int8+qkv+neck", m.quantize_encoder_int8(include_qkv=True, include_neck=True)),
         ):
             params = q.params
             ms = chip_ms(lambda: fwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)

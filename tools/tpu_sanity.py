@@ -126,13 +126,13 @@ def main():
         f"calibrated {absrel_cal:.2e} | uncalibrated qkv {absrel_qkv:.2e} | default {absrel_default:.2e}",
     )
 
-    # full-tier gate (round 3b): encoder + reassembly GEMMs quantized — the
+    # full-tier gate (round 3b): encoder + neck GEMMs quantized — the
     # added neck error must stay small relative to the encoder-only tier
-    m_full = m16.quantize_encoder_int8(include_reassembly=True)
+    m_full = m16.quantize_encoder_int8(include_neck=True)
     d_full = np.asarray(m_full.inference(img_big), np.float32)
     absrel_full = float(np.abs(d_full - d_dense).mean() / (np.abs(d_dense).mean() + 1e-12))
     ok &= check(
-        "int8 include_reassembly within 1.5x encoder-only error",
+        "int8 include_neck within 1.5x encoder-only error",
         absrel_full < 1.5 * absrel_default + 1e-3,
         f"full {absrel_full:.2e} | encoder-only {absrel_default:.2e}",
     )
