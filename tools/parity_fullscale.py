@@ -209,7 +209,7 @@ def main(argv=None):
     ap.add_argument("--families", default=default_families, help="comma-separated subset")
     ap.add_argument("--xl", action="store_true", help="also run the 24-block L-scale cases")
     args = ap.parse_args(argv)
-    families = args.families.split(",")
+    families = [f for f in (s.strip() for s in args.families.split(",")) if f]
     if args.xl:
         families += [f for f, c in CASES.items() if c.get("xl") and f not in families]
 
