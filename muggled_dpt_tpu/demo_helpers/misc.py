@@ -43,13 +43,13 @@ def make_device_config(device_str: str | None = None, use_float32: bool = False,
 
 def maybe_quantize_int8(model, int8: bool, int8_full: bool = False):
     """Shared --int8 / --int8-full CLI handling for the apps: apply the int8
-    serving tier (optionally incl. the reassembly GEMMs) with the standard
+    serving tier (optionally incl. the full neck) with the standard
     unsupported-family fallback message. Returns the (possibly new) model."""
     if not (int8 or int8_full):
         return model
     try:
         model = model.quantize_encoder_int8(include_neck=int8_full)
-        print("  int8 encoder tier enabled" + (" (+ reassembly GEMMs)" if int8_full else ""))
+        print("  int8 encoder tier enabled" + (" (+ full neck)" if int8_full else ""))
     except NotImplementedError as e:
         print(f"  --int8 unavailable for this family ({e}); using dense path")
     return model

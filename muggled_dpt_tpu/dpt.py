@@ -80,7 +80,14 @@ class DPTModel:
         # bf16-rounding them would add ~0.3% per-channel error on top of the
         # int8 error — and the act_smooth inverse must cancel the f32 factor
         # folded into the weights exactly (ops/quant.py recipe)
-        if path and str(getattr(path[-1], "key", "")).endswith(("_kernel_scale", "_kernel9_scale", "_act_smooth")):
+        key = str(getattr(path[-1], "key", "")) if path else ""
+        if key.endswith(("_kernel_scale", "_kernel9_scale", "_act_smooth")) or key == "kernel_scale" or (
+            # fused reassembly tap scales: t00_scale .. t22_scale (ops/quant.py
+            # quantize_reassembly_params). NOT a bare "_scale" suffix match —
+            # norm*_scale / logit_scale are ordinary params that must follow
+            # the compute dtype.
+            len(key) == 9 and key.startswith("t") and key.endswith("_scale")
+        ):
             return a.dtype
         return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
 

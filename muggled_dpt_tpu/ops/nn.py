@@ -208,6 +208,15 @@ def conv3x3_shiftsum(x, kernel, bias=None):
     co = kernel.shape[-1]
     w9 = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(ci, 9 * co)
     y9 = (x.reshape(b, h * w, ci) @ w9).reshape(b, h, w, 9, co)
+    return shiftsum_taps_add(y9, bias)
+
+
+def shiftsum_taps_add(y9, bias=None):
+    """Realign + accumulate the 9 per-tap conv outputs of the shiftsum
+    decomposition (shared by the dense conv3x3_shiftsum above and the int8
+    ops/quant.py:conv3x3_shiftsum_w8a8). y9: (b, h, w, 9, co), tap index in
+    row-major (dy, dx) order over the 3x3 stencil."""
+    b, h, w, _, co = y9.shape
     y9 = jnp.pad(y9, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     out = None
     for tap in range(9):

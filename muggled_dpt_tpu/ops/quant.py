@@ -168,19 +168,12 @@ def conv3x3_shiftsum_w8a8(x, w9_q8, w9_scale, bias=None):
     """int8 3x3 SAME conv in shiftsum form (see quantize_conv3x3_weight):
     per-token-quantized x @ (ci, 9co) s8 matmul -> f32 dequant -> the same
     9 shifted adds as ops/nn.py:conv3x3_shiftsum."""
+    from .nn import shiftsum_taps_add
+
     b, h, w, ci = x.shape
     co = w9_q8.shape[-1] // 9
     y9 = linear_w8a8(x.reshape(b, h * w, ci), w9_q8, w9_scale).reshape(b, h, w, 9, co)
-    y9 = jnp.pad(y9, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    out = None
-    for tap in range(9):
-        dy, dx = divmod(tap, 3)
-        sl = jax.lax.slice(y9, (0, dy, dx, tap, 0), (b, dy + h, dx + w, tap + 1, co))
-        out = sl if out is None else out + sl
-    out = out[:, :, :, 0, :]
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
+    return shiftsum_taps_add(y9, bias)
 
 
 def quantize_reassembly_params(stages):

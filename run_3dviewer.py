@@ -292,7 +292,7 @@ def main():
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (see docs/performance.md)")
     parser.add_argument("--int8-full", dest="int8_full", action="store_true",
-                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
+                        help="int8 tier incl. the full neck: reassembly GEMMs + fusion/head convs (implies --int8; docs/performance.md)")
     parser.add_argument("-nc", "--no_cache", action="store_true", help="Disable per-grid aux caching to reduce HBM usage")
     parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Process at the input's aspect ratio")

@@ -45,7 +45,7 @@ def parse_args():
     parser.add_argument("-f32", "--use_float32", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier")
     parser.add_argument("--int8-full", dest="int8_full", action="store_true",
-                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
+                        help="int8 tier incl. the full neck: reassembly GEMMs + fusion/head convs (implies --int8; docs/performance.md)")
     parser.add_argument("-dp", "--data-parallel", dest="data_parallel", default=None, type=int,
                         help="Width of the mesh's data axis — frames per step per --per-chip-batch "
                              "(default: all visible devices)")

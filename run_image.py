@@ -41,7 +41,7 @@ def parse_args():
     parser.add_argument("-z", "--no_optimization", action="store_true", help="Disable attention optimizations")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (DA/BEiT; see docs/performance.md)")
     parser.add_argument("--int8-full", dest="int8_full", action="store_true",
-                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
+                        help="int8 tier incl. the full neck: reassembly GEMMs + fusion/head convs (implies --int8; docs/performance.md)")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true", help="Keep original aspect ratio")
     parser.add_argument("-b", "--base_size_px", default=None, type=int, help="Override base model size")
     parser.add_argument("--crop", action="store_true", help="Interactively crop before inference")

@@ -43,7 +43,7 @@ def parse_args():
     parser.add_argument("-z", "--no_optimization", action="store_true")
     parser.add_argument("--int8", action="store_true", help="int8 encoder serving tier (DA/BEiT; see docs/performance.md)")
     parser.add_argument("--int8-full", dest="int8_full", action="store_true",
-                        help="int8 tier incl. the reassembly GEMMs (implies --int8; docs/performance.md)")
+                        help="int8 tier incl. the full neck: reassembly GEMMs + fusion/head convs (implies --int8; docs/performance.md)")
     parser.add_argument("-ar", "--use_aspect_ratio", action="store_true")
     parser.add_argument("-sync", "--use_sync", action="store_true", help="Block on every frame (accurate timing)")
     parser.add_argument(

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
 from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
 from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
 from muggled_dpt_tpu.ops.quant import linear_w8a8, quantize_weight
@@ -167,6 +168,41 @@ def test_act_smooth_stays_f32_under_bf16_model():
     # and the bf16 calibrated model still runs end-to-end
     img = rng.integers(0, 256, (120, 160, 3), np.uint8)
     assert np.asarray(q.inference(img)).shape == np.asarray(m.inference(img)).shape
+
+
+def test_all_quant_scales_stay_f32_under_bf16_full_tier():
+    """EVERY int8 dequant scale must survive DPTModel's bf16 cast, not just
+    the `_kernel_scale`-suffixed encoder ones (regression: the BEiT readout's
+    bare `kernel_scale` and the fused-tap `tXY_scale`s were bf16-rounded on
+    the bf16 --int8-full path). Invariant: for each `K_q8` leaf the sibling
+    `K_scale` exists and is float32 — uniform across ops/quant.py producers."""
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16, dtype=jnp.bfloat16)
+    q = m.quantize_encoder_int8(include_qkv=True, include_neck=True)
+
+    found, bad = [], []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.endswith("_q8"):
+                    sk = k[: -len("_q8")] + "_scale"
+                    found.append(path + (sk,))
+                    if sk not in node:
+                        bad.append((path + (sk,), "missing"))
+                    elif node[sk].dtype != jnp.float32:
+                        bad.append((path + (sk,), str(node[sk].dtype)))
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (str(i),))
+
+    walk(q.params, ())
+    assert not bad, bad
+    # the tier must actually cover the neck for the invariant to mean much:
+    # the BEiT readout's bare key, the fusion/head shiftsum convs, fused taps
+    keys = {p[-1] for p in found}
+    assert "kernel_scale" in keys and any(k.endswith("_kernel9_scale") for k in keys), keys
+    assert any(len(k) == 9 and k.startswith("t") and k.endswith("_scale") for k in keys), keys
 
 
 def test_smoothing_factorization_is_exact():

@@ -4,7 +4,7 @@
 
 Writes one line per (model, tier) with chip-throughput latency
 (dispatch-queue amortized, CLAUDE.md measurement rules). Numbers land in
-docs/performance.md ("int8 reassembly extension").
+docs/performance.md ("int8 full-neck extension").
 
 Budgeting on this environment (see memory/CLAUDE.md): the giant's synthetic
 build is ~25-30 min of single-core host RNG/convert and its params upload is
@@ -37,7 +37,7 @@ CONFIGS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
-    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
     args = ap.parse_args()
 
     import jax
@@ -57,16 +57,21 @@ def main():
                                      dtype=jnp.bfloat16, **CONFIGS[name])
         print(f"[{name}] built in {time.time() - t0:.0f}s", flush=True)
         xd = jax.device_put(m.prepare_image_bgr_nhwc(img, 518))
-        fwd = m.spec["forward"]
-        for tier, q in (
-            ("bf16 dense", m),
-            ("int8+qkv", m.quantize_encoder_int8(include_qkv=True)),
-            ("int8+qkv+neck", m.quantize_encoder_int8(include_qkv=True, include_neck=True)),
+        # jit once per tier: the tools measure the compiled serving program,
+        # not op-by-op eager dispatch (which times the tunnel, not the chip).
+        # Tiers are built lazily inside the loop so only one extra param set
+        # is resident at a time (the giant is ~2.5 GB/copy over this tunnel).
+        jfwd = jax.jit(m.spec["forward"])
+        for tier, build in (
+            ("bf16 dense", lambda: m),
+            ("int8+qkv", lambda: m.quantize_encoder_int8(include_qkv=True)),
+            ("int8+qkv+neck", lambda: m.quantize_encoder_int8(include_qkv=True, include_neck=True)),
         ):
-            params = q.params
-            ms = chip_ms(lambda: fwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)
+            params = build().params
+            ms = chip_ms(lambda: jfwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)
             print(f"{name:6s} {tier:22s} {ms:7.2f} ms", flush=True)
-        del m
+            del params
+        del m, jfwd
 
 
 if __name__ == "__main__":
