@@ -152,3 +152,106 @@ def test_finetune_converges_on_synthetic_scene(tiny_model):
             losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < 0.6 * losses[0], losses
+
+
+def _train_n_steps(tiny_model, mesh, params, opt_state, images, targets, n):
+    import optax
+
+    from muggled_dpt_tpu.parallel.train import make_train_step
+
+    fwd = tiny_model.spec["forward"]
+    step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optax.adamw(3e-4)))
+    losses = []
+    with mesh:
+        for _ in range(n):
+            params, opt_state, loss = step(params, opt_state, images, targets)
+            losses.append(float(loss))
+    return params, opt_state, losses
+
+
+def test_checkpoint_resume_matches_uninterrupted(tiny_model, tmp_path):
+    """parallel/checkpoint.py: save at step 3, restore into fresh templates,
+    run 3 more steps — losses and params must match the uninterrupted 6-step
+    run (the optimizer state round-trips exactly, not just the params)."""
+    import optax
+
+    import tools.finetune_demo as demo
+    from muggled_dpt_tpu.parallel.checkpoint import latest_step, restore_train_state, save_train_state
+    from muggled_dpt_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    images, targets = demo.synthetic_scene(rng, batch=2, hw=(28, 28))
+    images, targets = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
+
+    def fresh_state():
+        params = shard_params(
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tiny_model.params), mesh
+        )
+        return params, optax.adamw(3e-4).init(params)
+
+    # uninterrupted 6 steps
+    p0, o0 = fresh_state()
+    p_full, _, losses_full = _train_n_steps(tiny_model, mesh, p0, o0, images, targets, 6)
+
+    # interrupted: 3 steps -> save -> restore into FRESH templates -> 3 more
+    p1, o1 = fresh_state()
+    p_half, o_half, losses_a = _train_n_steps(tiny_model, mesh, p1, o1, images, targets, 3)
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_train_state(ckpt_dir, 3, p_half, o_half)
+    assert latest_step(ckpt_dir) == 3
+
+    pt, ot = fresh_state()  # templates carry shapes/dtypes/shardings only
+    p_res, o_res, step = restore_train_state(ckpt_dir, pt, ot)
+    assert step == 3
+    p_resumed, _, losses_b = _train_n_steps(tiny_model, mesh, p_res, o_res, images, targets, 3)
+
+    np.testing.assert_allclose(losses_full, losses_a + losses_b, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full), jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_restores_across_mesh_shapes(tiny_model, tmp_path):
+    """Elastic resume: state saved on a 2x4 mesh restores onto a 4x2 mesh —
+    the restore re-shards to the templates' NamedShardings."""
+    import optax
+
+    from muggled_dpt_tpu.parallel.checkpoint import save_train_state, restore_train_state
+
+    mesh_a, mesh_b = make_mesh(8), make_mesh(8, data_parallel=4)
+
+    def state_on(mesh):
+        params = shard_params(
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tiny_model.params), mesh
+        )
+        return params, optax.adamw(3e-4).init(params)
+
+    p_a, o_a = state_on(mesh_a)
+    ckpt_dir = str(tmp_path / "elastic")
+    save_train_state(ckpt_dir, 1, p_a, o_a)
+
+    pt, ot = state_on(mesh_b)
+    p_b, _, _ = restore_train_state(ckpt_dir, pt, ot)
+    la, lb = jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    # the restored tree really lives on mesh_b's sharding
+    lt = jax.tree_util.tree_leaves(pt)
+    assert any(b.sharding == t.sharding and t.sharding.mesh.shape == {"data": 4, "model": 2}
+               for b, t in zip(lb, lt) if hasattr(t.sharding, "mesh"))
+
+
+def test_checkpoint_keep_prunes_old_steps(tiny_model, tmp_path):
+    import optax
+
+    from muggled_dpt_tpu.parallel.checkpoint import list_steps, save_train_state
+
+    mesh = make_mesh(8)
+    params = shard_params(
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), tiny_model.params), mesh
+    )
+    opt_state = optax.adamw(3e-4).init(params)
+    d = str(tmp_path / "prune")
+    for s in (1, 2, 3, 4):
+        save_train_state(d, s, params, opt_state, keep=2)
+    assert list_steps(d) == [3, 4]

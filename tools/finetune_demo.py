@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--size", type=int, default=56, help="Square input side (multiple of the model tile)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt_dir", default=None, help="Save/resume sharded train state here (parallel/checkpoint.py)")
+    ap.add_argument("--save_every", type=int, default=10, help="Checkpoint cadence in steps (with --ckpt_dir)")
+    ap.add_argument("--resume", action="store_true", help="Resume from the latest step in --ckpt_dir")
     args = ap.parse_args()
 
     import jax
@@ -93,19 +96,40 @@ def main():
     opt_state = optimizer.init(params)
     images, targets = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
 
+    start = 0
+    if args.ckpt_dir and args.resume:
+        from muggled_dpt_tpu.parallel.checkpoint import restore_train_state
+
+        params, opt_state, start = restore_train_state(args.ckpt_dir, params, opt_state)
+        print(f"resumed from {args.ckpt_dir} step {start}")
+        if start >= args.steps:
+            print(f"nothing to do: checkpoint step {start} >= --steps {args.steps}")
+            return 0
+
     step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optimizer))
     losses = []
     with mesh:
-        for i in range(args.steps):
+        for i in range(start, args.steps):
             params, opt_state, loss = step(params, opt_state, images, targets)
             losses.append(float(loss))
             if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
                 print(f"step {i:3d}  ssi_loss {losses[-1]:.5f}")
+            if args.ckpt_dir and (i + 1) % args.save_every == 0:
+                from muggled_dpt_tpu.parallel.checkpoint import save_train_state
+
+                save_train_state(args.ckpt_dir, i + 1, params, opt_state)
+                print(f"saved step {i + 1} -> {args.ckpt_dir}")
 
     drop = losses[-1] / max(losses[0], 1e-12)
     print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}  ({drop:.3f}x of start)")
-    ok = losses[-1] < 0.5 * losses[0]
-    print("CONVERGED" if ok else "DID NOT CONVERGE")
+    if start:
+        # resumed segment: the big early-loss drop happened before the
+        # checkpoint, so gate only on continued improvement
+        ok = losses[-1] <= losses[0]
+        print("RESUMED OK" if ok else "LOSS REGRESSED AFTER RESUME")
+    else:
+        ok = losses[-1] < 0.5 * losses[0]
+        print("CONVERGED" if ok else "DID NOT CONVERGE")
     return 0 if ok else 1
 
 
