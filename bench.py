@@ -18,11 +18,52 @@ Prints ONE JSON line to stdout."""
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def ensure_backend_reachable(timeout_s: int = 600) -> None:
+    """Fail fast with one honest JSON line if the device backend can't
+    initialize. The axon TPU tunnel in this environment can drop (the relay
+    is externally owned); a jax init then blocks forever in C code, which
+    would hang the whole bench run. Probe in a subprocess with a bounded
+    wait — the probe never gets past init when the tunnel is down, so
+    killing it cannot wedge an acquired device."""
+    # re-assert the env-requested platform through the config API: the axon
+    # PJRT plugin in this environment overrides JAX_PLATFORMS (see
+    # muggled_dpt_tpu/__init__.py), and a raw-jax probe would otherwise dial
+    # the TPU even when the bench was asked to run on CPU
+    probe = (
+        "import os, jax;"
+        "p = os.environ.get('JAX_PLATFORMS', '').strip();"
+        "jax.config.update('jax_platforms', p) if p else None;"
+        "import numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones((2, 2)).sum())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if r.returncode == 0:
+            return
+        reason = f"backend probe exited rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init did not complete within {timeout_s}s (axon tunnel down?)"
+    print(json.dumps({
+        "metric": "DA-V2 ViT-L depth fps/chip @ 518 max-side (504x504), on-device prep+model, device-resident frame",
+        "value": None,
+        "unit": "fps",
+        "vs_baseline": None,
+        "error": reason,
+    }))
+    raise SystemExit(1)
 
 
 def chip_fps(run_one, probe, iters: int = 200) -> float:
@@ -74,6 +115,8 @@ def main():
     )
     ap.add_argument("--iters", type=int, default=None, help="Measurement window (frames); default 200 / 50 for dp")
     args = ap.parse_args()
+
+    ensure_backend_reachable(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600")))
 
     # the unroll-mode ViT-L compile takes minutes cold; persist it across runs
     enable_compilation_cache()
