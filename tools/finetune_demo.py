@@ -120,6 +120,15 @@ def main():
                 save_train_state(args.ckpt_dir, i + 1, params, opt_state)
                 print(f"saved step {i + 1} -> {args.ckpt_dir}")
 
+    # final validation readout: the standard monocular-depth eval protocol
+    # (SSI-aligned, matching the relative-depth output convention)
+    from muggled_dpt_tpu.utils.metrics import depth_metrics
+
+    with mesh:
+        pred = fwd(params, images)
+        m = {k: float(v) for k, v in depth_metrics(pred, targets).items()}
+    print("eval:", "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
     drop = losses[-1] / max(losses[0], 1e-12)
     print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}  ({drop:.3f}x of start)")
     if start:

@@ -133,6 +133,24 @@ CASES = {
         "default_size": 512,
         "xl": True,
     },
+    "swinv2-l-384": {
+        # swin2_large_384 standard config (make_swinv2_dpt.py:87-95): 24-layer
+        # hierarchical encoder, 24-px windows with the 12/12/12/6 pretrained
+        # CPB normalization — the L-scale error-accumulation case for SwinV2
+        "filename": "midas_swin2_large_384.pt",
+        "config": {
+            "features_per_stage": [192, 384, 768, 1536],
+            "heads_per_stage": [6, 12, 24, 48],
+            "layers_per_stage": [2, 2, 18, 2],
+            "base_patch_grid_hw": (96, 96),
+            "window_size_hw": (24, 24),
+            "pretrained_window_sizes_per_stage": [12, 12, 12, 6],
+            "fusion_channels": 256,
+            "patch_size_px": 4,
+        },
+        "default_size": 384,
+        "xl": True,
+    },
 }
 
 
