@@ -7,7 +7,9 @@ the chip, using the same device-resident-frame chip-throughput method as
 bench.py (ordered dispatch + one final probe readback; the tunnel's ~25 ms
 RTT amortizes over the window).
 
-Run: python tools/bench_sizes.py [size ...]   (default: 756 1036 1428 1904)
+Run: python tools/bench_sizes.py [--unroll] [size ...]   (default: 756 1036 1428 1904)
+--unroll measures the fixed-shape serving mode (unroll_blocks; ~12% faster
+encoder, minutes-long first compile per shape — cached persistently).
 """
 
 import sys
@@ -27,7 +29,9 @@ def main():
     from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
 
     enable_compilation_cache()
-    sizes = [int(a) for a in sys.argv[1:]] or [756, 1036, 1428, 1904]
+    args = sys.argv[1:]
+    unroll = "--unroll" in args
+    sizes = [int(a) for a in args if a != "--unroll"] or [756, 1036, 1428, 1904]
 
     model = make_depthanythingv2_dpt(
         features_per_token=1024,
@@ -37,8 +41,11 @@ def main():
         base_patch_grid_hw=(37, 37),
         fusion_channels=256,
         patch_size_px=14,
+        unroll_blocks=unroll,
         dtype=jnp.bfloat16,
     )
+    if unroll:
+        print("mode: unroll_blocks (fixed-shape serving)", flush=True)
 
     rng = np.random.default_rng(0)
     image_bgr = rng.integers(0, 256, size=(2160, 2160, 3), dtype=np.uint8)
