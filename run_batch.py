@@ -55,7 +55,36 @@ def parse_args():
                              "(needs data_parallel x tensor_parallel devices)")
     parser.add_argument("--save", default="u16", help="Comma list of outputs: u16, npy, color (default: u16)")
     parser.add_argument("--max_frames", default=None, type=int, help="Stop after N frames")
+    parser.add_argument("--eval_gt", default=None, metavar="FOLDER",
+                        help="Ground-truth inverse-depth folder (<name>.npy float or <name>.png u16): "
+                             "aggregate AbsRel/RMSE/delta metrics over the run (utils/metrics.py; "
+                             "pixels with gt<=0 are masked out, the standard validity convention)")
+    parser.add_argument("--eval_no_align", action="store_true",
+                        help="Skip the per-image SSI (scale, shift) alignment before measuring "
+                             "(for metric models, whose absolute scale is under test)")
     return parser.parse_args()
+
+
+def load_gt(folder: str, name: str, hw: tuple[int, int]) -> np.ndarray | None:
+    """Ground truth for frame `name`: <name>.npy (float inverse depth) or
+    <name>.png (u16/u8, normalized). Resized nearest to the prediction's HW
+    so zero-invalid pixels never bleed into valid ones."""
+    npy = osp.join(folder, f"{name}.npy")
+    png = osp.join(folder, f"{name}.png")
+    if osp.isfile(npy):
+        gt = np.load(npy).astype(np.float32)
+    elif osp.isfile(png):
+        raw = cv2.imread(png, cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            return None
+        if raw.ndim == 3:
+            raw = raw[..., 0]
+        gt = raw.astype(np.float32) / float(np.iinfo(raw.dtype).max if raw.dtype.kind == "u" else 1)
+    else:
+        return None
+    if gt.shape != hw:
+        gt = cv2.resize(gt, (hw[1], hw[0]), interpolation=cv2.INTER_NEAREST)
+    return gt
 
 
 def iter_frames(input_path: str):
@@ -138,6 +167,8 @@ def main():
     pending: list[tuple[str, np.ndarray]] = []
     n_done = 0
     t_start = None
+    eval_sums: dict[str, float] = {}
+    eval_n = 0
 
     def save_one(name: str, depth: np.ndarray):
         d = normalize_01(remove_infinities(depth.astype(np.float32)))
@@ -151,7 +182,7 @@ def main():
     def flush(pending_batch):
         """Run one sharded step over the pending frames (padded to the batch
         size by repeating the last frame; padded outputs are dropped)."""
-        nonlocal n_done
+        nonlocal n_done, eval_n
         n_real = len(pending_batch)
         frames = [f for _, f in pending_batch]
         frames += [frames[-1]] * (batch - n_real)
@@ -160,6 +191,19 @@ def main():
         depths = np.asarray(runner(x), np.float32)
         for (name, _), depth in zip(pending_batch, depths[:n_real]):
             save_one(name, depth)
+            if args.eval_gt:
+                gt = load_gt(args.eval_gt, name, depth.shape)
+                if gt is not None:
+                    from muggled_dpt_tpu.utils.metrics import depth_metrics
+
+                    frame_metrics = depth_metrics(
+                        jnp.asarray(depth[None]), jnp.asarray(gt[None]),
+                        jnp.asarray((gt > 0).astype(np.float32)[None]),
+                        align=not args.eval_no_align,
+                    )
+                    for k, v in frame_metrics.items():
+                        eval_sums[k] = eval_sums.get(k, 0.0) + float(v)
+                    eval_n += 1
         n_done += n_real
 
     for name, frame in iter_frames(str(input_path)):
@@ -192,6 +236,14 @@ def main():
         print(f"Done: {n_done} frames -> {out_dir} ({(n_done - n_at_start) / dt:.1f} frames/s steady-state)")
     else:
         print(f"Done: {n_done} frames -> {out_dir}")
+
+    if args.eval_gt:
+        if eval_n:
+            summary = "  ".join(f"{k}={eval_sums[k] / eval_n:.4f}" for k in sorted(eval_sums))
+            align_note = "no-align" if args.eval_no_align else "SSI-aligned"
+            print(f"Eval vs {args.eval_gt} ({eval_n}/{n_done} frames, {align_note}): {summary}")
+        else:
+            print(f"Eval: no ground-truth files matched under {args.eval_gt}")
 
 
 if __name__ == "__main__":

@@ -164,6 +164,40 @@ def test_run_batch_folder_data_parallel(fixtures):
     assert a.shape == b.shape and not np.allclose(a, b)
 
 
+def test_run_batch_eval_gt(fixtures):
+    """--eval_gt: self-consistency (the model's own outputs as ground truth
+    must score ~perfect), SSI alignment absorbing a global 2x gt scale, and
+    --eval_no_align exposing it (rmse_log = ln 2)."""
+    d = fixtures["dir"]
+    frames_dir = osp.join(d, "eval_frames")
+    os.makedirs(frames_dir, exist_ok=True)
+    rng = np.random.default_rng(8)
+    for i in range(2):
+        cv2.imwrite(osp.join(frames_dir, f"ev_{i}.png"), rng.integers(0, 256, (120, 160, 3), dtype=np.uint8))
+
+    out_dir, gt_dir = osp.join(d, "eval_out"), osp.join(d, "eval_gt")
+    r = _run([osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", frames_dir,
+              "-o", out_dir, "-dp", "1", "-f32", "--save", "npy"], cwd=d)
+    assert r.returncode == 0, r.stderr[-2000:]
+    os.makedirs(gt_dir, exist_ok=True)
+    for i in range(2):
+        np.save(osp.join(gt_dir, f"ev_{i}.npy"), np.load(osp.join(out_dir, f"ev_{i}.npy")) * 2.0)
+
+    r = _run([osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", frames_dir,
+              "-o", osp.join(d, "eval_out2"), "-dp", "1", "-f32", "--save", "npy",
+              "--eval_gt", gt_dir], cwd=d)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(l for l in r.stdout.splitlines() if l.startswith("Eval vs"))
+    assert "(2/2 frames, SSI-aligned)" in line and "abs_rel=0.0000" in line and "delta1=1.0000" in line
+
+    r = _run([osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", frames_dir,
+              "-o", osp.join(d, "eval_out3"), "-dp", "1", "-f32", "--save", "npy",
+              "--eval_gt", gt_dir, "--eval_no_align"], cwd=d)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(l for l in r.stdout.splitlines() if l.startswith("Eval vs"))
+    assert "no-align" in line and "abs_rel=0.5000" in line and "rmse_log=0.6931" in line
+
+
 def test_run_batch_video_max_frames(fixtures):
     """Video input: --max_frames caps the run; single-device path."""
     d = fixtures["dir"]
