@@ -17,21 +17,15 @@ from .mesh import make_mesh, shard_batch, shard_params
 
 def ssi_loss(pred_bhw, target_bhw, mask_bhw=None, eps=1e-6):
     """Scale-shift-invariant MSE: per-image least-squares align (scale, shift)
-    of the prediction to the target, then mean squared residual."""
-    b = pred_bhw.shape[0]
-    p = pred_bhw.reshape(b, -1).astype(jnp.float32)
-    t = target_bhw.reshape(b, -1).astype(jnp.float32)
-    m = jnp.ones_like(p) if mask_bhw is None else mask_bhw.reshape(b, -1).astype(jnp.float32)
+    of the prediction to the target, then mean squared residual. The alignment
+    itself lives in utils/metrics.py (shared with the eval protocol)."""
+    from ..utils.metrics import align_scale_shift
 
+    b = pred_bhw.shape[0]
+    aligned = align_scale_shift(pred_bhw, target_bhw, mask_bhw, eps).reshape(b, -1)
+    t = target_bhw.reshape(b, -1).astype(jnp.float32)
+    m = jnp.ones_like(t) if mask_bhw is None else mask_bhw.reshape(b, -1).astype(jnp.float32)
     n = jnp.sum(m, axis=1) + eps
-    sp = jnp.sum(m * p, axis=1)
-    st = jnp.sum(m * t, axis=1)
-    spp = jnp.sum(m * p * p, axis=1)
-    spt = jnp.sum(m * p * t, axis=1)
-    det = n * spp - sp * sp + eps
-    scale = (n * spt - sp * st) / det
-    shift = (spp * st - sp * spt) / det
-    aligned = scale[:, None] * p + shift[:, None]
     return jnp.mean(jnp.sum(m * (aligned - t) ** 2, axis=1) / n)
 
 

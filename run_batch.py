@@ -126,6 +126,7 @@ def main():
 
     from muggled_dpt_tpu.parallel.inference import BatchParallelRunner
     from muggled_dpt_tpu.parallel.mesh import make_mesh
+    from muggled_dpt_tpu.utils.metrics import depth_metrics
 
     history = HistoryKeeper()
     _, hist_input = history.read("batch_input_path")
@@ -194,8 +195,6 @@ def main():
             if args.eval_gt:
                 gt = load_gt(args.eval_gt, name, depth.shape)
                 if gt is not None:
-                    from muggled_dpt_tpu.utils.metrics import depth_metrics
-
                     frame_metrics = depth_metrics(
                         jnp.asarray(depth[None]), jnp.asarray(gt[None]),
                         jnp.asarray((gt > 0).astype(np.float32)[None]),

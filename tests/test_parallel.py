@@ -235,10 +235,8 @@ def test_checkpoint_restores_across_mesh_shapes(tiny_model, tmp_path):
     la, lb = jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
-    # the restored tree really lives on mesh_b's sharding
-    lt = jax.tree_util.tree_leaves(pt)
-    assert any(b.sharding == t.sharding and t.sharding.mesh.shape == {"data": 4, "model": 2}
-               for b, t in zip(lb, lt) if hasattr(t.sharding, "mesh"))
+    # every restored leaf really lives on mesh_b (template shardings applied)
+    assert all(leaf.sharding.mesh.shape == {"data": 4, "model": 2} for leaf in lb)
 
 
 def test_checkpoint_keep_prunes_old_steps(tiny_model, tmp_path):

@@ -97,9 +97,9 @@ def main():
     images, targets = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
 
     start = 0
+    if args.ckpt_dir:
+        from muggled_dpt_tpu.parallel.checkpoint import restore_train_state, save_train_state
     if args.ckpt_dir and args.resume:
-        from muggled_dpt_tpu.parallel.checkpoint import restore_train_state
-
         params, opt_state, start = restore_train_state(args.ckpt_dir, params, opt_state)
         print(f"resumed from {args.ckpt_dir} step {start}")
         if start >= args.steps:
@@ -115,8 +115,6 @@ def main():
             if i % max(1, args.steps // 10) == 0 or i == args.steps - 1:
                 print(f"step {i:3d}  ssi_loss {losses[-1]:.5f}")
             if args.ckpt_dir and (i + 1) % args.save_every == 0:
-                from muggled_dpt_tpu.parallel.checkpoint import save_train_state
-
                 save_train_state(args.ckpt_dir, i + 1, params, opt_state)
                 print(f"saved step {i + 1} -> {args.ckpt_dir}")
 

@@ -133,6 +133,26 @@ CASES = {
         "default_size": 512,
         "xl": True,
     },
+    "da-v2-giant-width": {
+        # ViT-Giant pathway at PRODUCTION WIDTH (1536d/24h SwiGLU blocks, the
+        # giant's all-1536 reassembly) but 8 blocks instead of 40 to keep the
+        # CPU-torch runtime sane — depth accumulation is covered by the
+        # 24-block cases above; this one gates the giant-only code paths
+        # (SwiGLU FFN, swiglu_hidden sizing) at real dimensions
+        "filename": "depth_anything_v2_vitg.pt",
+        "config": {
+            "features_per_token": 1536,
+            "num_blocks": 8,
+            "num_heads": 24,
+            "reassembly_features_list": [1536, 1536, 1536, 1536],
+            "fusion_channels": 384,
+            "patch_size_px": 14,
+            "base_patch_grid_hw": (37, 37),
+            "is_giant": True,
+        },
+        "default_size": 518,
+        "xl": True,
+    },
     "swinv2-l-384": {
         # swin2_large_384 standard config (make_swinv2_dpt.py:87-95): 24-layer
         # hierarchical encoder, 24-px windows with the 12/12/12/6 pretrained
