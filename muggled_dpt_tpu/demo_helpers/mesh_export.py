@@ -21,12 +21,14 @@ import struct
 import numpy as np
 
 
-def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0):
+def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0,
+                      dmin: float = 0.0, dmax: float = 1.0):
     """(GRID+1)^2 displaced-plane mesh from a normalized depth map.
 
     Mirrors viewer.js:buildMeshArrays (positions) and buildGrid (uvs,
     indices): uv-regular vertex grid, nearest-neighbor depth sample,
-    z = scale * depth + offset, x spans the image aspect ratio.
+    min/max depth-range remap (viewer.js:remapDepth — clamp((d-dmin)/(dmax-
+    dmin))), z = scale * depth + offset, x spans the image aspect ratio.
     Returns (positions (n,3) f32, uvs (n,2) f32, indices (m,3) u32)."""
     h, w = depth_01.shape
     aspect = w / h
@@ -39,6 +41,9 @@ def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6,
     px = np.minimum(w - 1, np.floor(uu * (w - 1) + 0.5).astype(np.int64))
     py = np.minimum(h - 1, np.floor(vv * (h - 1) + 0.5).astype(np.int64))
     d = depth_01[py, px].astype(np.float32)
+    if (dmin, dmax) != (0.0, 1.0):
+        lo, hi = (dmin, dmax) if dmin < dmax else (dmax, dmin)
+        d = np.clip((d - lo) / max(hi - lo, 0.001), 0.0, 1.0)
     positions = np.stack(
         [(uu - 0.5) * aspect, 0.5 - vv, scale * d + offset], axis=-1
     ).reshape(-1, 3).astype(np.float32)
@@ -54,9 +59,10 @@ def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6,
     return positions, uvs, indices
 
 
-def export_obj(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0) -> bytes:
+def export_obj(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0,
+               dmin: float = 0.0, dmax: float = 1.0) -> bytes:
     """Wavefront OBJ with v/vt/f records (viewer.js:exportOBJ; flipped vt v)."""
-    positions, uvs, indices = build_mesh_arrays(depth_01, grid, scale, offset)
+    positions, uvs, indices = build_mesh_arrays(depth_01, grid, scale, offset, dmin, dmax)
     lines = ["# muggled_dpt_tpu depth mesh"]
     lines += [f"v {p[0]:.5f} {p[1]:.5f} {p[2]:.5f}" for p in positions]
     lines += [f"vt {t[0]:.5f} {1.0 - t[1]:.5f}" for t in uvs]
@@ -65,10 +71,11 @@ def export_obj(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset
     return "\n".join(lines).encode()
 
 
-def export_glb(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0) -> bytes:
+def export_glb(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6, offset: float = 0.0,
+               dmin: float = 0.0, dmax: float = 1.0) -> bytes:
     """Binary glTF 2.0 (GLB): 12-byte header + 4-aligned JSON chunk + BIN
     chunk holding positions|uvs|indices (viewer.js:exportGLB layout)."""
-    positions, uvs, indices = build_mesh_arrays(depth_01, grid, scale, offset)
+    positions, uvs, indices = build_mesh_arrays(depth_01, grid, scale, offset, dmin, dmax)
     pos_b, uv_b, idx_b = positions.tobytes(), uvs.tobytes(), indices.tobytes()
     bin_len = len(pos_b) + len(uv_b) + len(idx_b)
     bin_chunk = pos_b + uv_b + idx_b + b"\x00" * ((4 - bin_len % 4) % 4)

@@ -60,6 +60,7 @@ attribute vec2 aUV;
 uniform sampler2D uDepth;
 uniform mat4 uProj, uView;
 uniform float uScale, uOffset, uAspect;
+uniform float uDepthMin, uDepthMax;
 varying vec2 vUV;
 varying float vMask;
 float decodeDepth(vec4 px) { return (px.r * 65536.0 + px.g * 256.0 + px.b) * 255.0 / 16777215.0; }
@@ -67,6 +68,9 @@ void main() {
   vUV = aUV;
   vec4 dpx = texture2D(uDepth, aUV);
   float d = decodeDepth(dpx);
+  // min/max depth clipping (reference 3dviewer dmin/dmax sliders): remap the
+  // selected range to 0..1, flattening everything outside onto the range ends
+  d = clamp((d - uDepthMin) / max(uDepthMax - uDepthMin, 0.001), 0.0, 1.0);
   vMask = dpx.a;
   vec3 pos = vec3((aUV.x - 0.5) * uAspect, (0.5 - aUV.y), uScale * d + uOffset);
   gl_Position = uProj * uView * vec4(pos, 1.0);
@@ -78,6 +82,7 @@ uniform sampler2D uRGB;
 uniform sampler2D uDepthF;
 uniform float uUseMask;
 uniform float uViewMode; // 0 = image texture, 1 = depth gray, 2 = depth spectral
+uniform float uDepthMinF, uDepthMaxF;
 varying vec2 vUV;
 varying float vMask;
 float decodeDepthF(vec4 px) { return (px.r * 65536.0 + px.g * 256.0 + px.b) * 255.0 / 16777215.0; }
@@ -96,6 +101,7 @@ void main() {
     gl_FragColor = vec4(texture2D(uRGB, vUV).rgb, 1.0);
   } else {
     float d = decodeDepthF(texture2D(uDepthF, vUV));
+    d = clamp((d - uDepthMinF) / max(uDepthMaxF - uDepthMinF, 0.001), 0.0, 1.0);
     gl_FragColor = (uViewMode < 1.5) ? vec4(vec3(d), 1.0) : vec4(spectral(1.0 - d), 1.0);
   }
 }`;
@@ -214,17 +220,23 @@ const ui = {
   showFrustum: document.getElementById("showFrustum"),
   viewMode: document.getElementById("viewMode"),
   meshDensity: document.getElementById("meshDensity"),
+  depthMin: document.getElementById("depthMin"),
+  depthMax: document.getElementById("depthMax"),
   status: document.getElementById("status"),
 };
 function syncLabels() {
   document.getElementById("scaleVal").textContent = ui.scale.value;
   document.getElementById("offsetVal").textContent = ui.offset.value;
   document.getElementById("fovVal").textContent = ui.fov.value;
+  document.getElementById("depthMinVal").textContent = ui.depthMin.value;
+  document.getElementById("depthMaxVal").textContent = ui.depthMax.value;
 }
 ["input", "change"].forEach((ev) => {
   ui.scale.addEventListener(ev, syncLabels);
   ui.offset.addEventListener(ev, syncLabels);
   ui.fov.addEventListener(ev, syncLabels);
+  ui.depthMin.addEventListener(ev, syncLabels);
+  ui.depthMax.addEventListener(ev, syncLabels);
 });
 syncLabels();
 
@@ -335,6 +347,10 @@ function render() {
     gl.uniform1f(gl.getUniformLocation(program, "uAspect"), state.aspect);
     gl.uniform1f(gl.getUniformLocation(program, "uUseMask"), ui.useMask.checked ? 1 : 0);
     gl.uniform1f(gl.getUniformLocation(program, "uViewMode"), parseFloat(ui.viewMode.value));
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMin"), depthRange()[0]);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMax"), depthRange()[1]);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMinF"), depthRange()[0]);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMaxF"), depthRange()[1]);
     gl.drawElements(gl.TRIANGLES, indices.length, gl.UNSIGNED_INT, 0);
 
     if (ui.showFrustum.checked) {
@@ -370,6 +386,18 @@ async function playbackLoop() {
 
 // ---------------------------------------------------------------------------
 // Mesh export (positions + uvs + indices, sampled at GRID resolution)
+// min/max depth clipping: remap the selected range to 0..1, clamped — shared
+// semantics between the vertex shader and the export path (and mirrored by
+// the server-side exporter, demo_helpers/mesh_export.py)
+function depthRange() {
+  const lo = parseFloat(ui.depthMin.value), hi = parseFloat(ui.depthMax.value);
+  return lo < hi ? [lo, hi] : [hi, lo];
+}
+function remapDepth(d) {
+  const r = depthRange();
+  return Math.min(1, Math.max(0, (d - r[0]) / Math.max(r[1] - r[0], 0.001)));
+}
+
 function buildMeshArrays() {
   const n = (GRID + 1) * (GRID + 1);
   const positions = new Float32Array(n * 3);
@@ -379,7 +407,7 @@ function buildMeshArrays() {
     const u = x / GRID, v = y / GRID;
     const px = Math.min(state.depthW - 1, Math.round(u * (state.depthW - 1)));
     const py = Math.min(state.depthH - 1, Math.round(v * (state.depthH - 1)));
-    const d = state.depthData[py * state.depthW + px];
+    const d = remapDepth(state.depthData[py * state.depthW + px]);
     positions[i * 3] = (u - 0.5) * state.aspect;
     positions[i * 3 + 1] = 0.5 - v;
     positions[i * 3 + 2] = A * d + B;

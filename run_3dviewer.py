@@ -263,7 +263,8 @@ def make_handler(model, source, max_side, is_metric, mask=None, crop=None,
                     frame = crop.apply(frame)
                 d = np.asarray(model.inference(frame, max_side, use_square), np.float32).squeeze()
                 d = normalize_01(remove_infinities(d))
-                kwargs = dict(grid=min(max(qf("grid", 320, int), 2), 1024), scale=qf("scale", 0.6), offset=qf("offset", 0.0))
+                kwargs = dict(grid=min(max(qf("grid", 320, int), 2), 1024), scale=qf("scale", 0.6), offset=qf("offset", 0.0),
+                              dmin=qf("dmin", 0.0), dmax=qf("dmax", 1.0))
                 if path.endswith("obj"):
                     return self._send(200, export_obj(d, **kwargs), "text/plain")
                 return self._send(200, export_glb(d, **kwargs), "model/gltf-binary")

@@ -310,6 +310,45 @@ def test_export_obj_and_glb_endpoints(server):
     np.testing.assert_allclose(pos.max(axis=0), acc[0]["max"], rtol=1e-6)
 
 
+def test_export_depth_range_clipping(server):
+    """/export/obj honors dmin/dmax: the selected band remaps to 0..1 so the
+    z range still spans [offset, scale+offset], and a degenerate band
+    (dmin==dmax) flattens every vertex. Mirrors viewer.js:remapDepth."""
+    from muggled_dpt_tpu.demo_helpers.mesh_export import build_mesh_arrays
+
+    # unit-level: remap math matches clamp((d-lo)/max(hi-lo, 1e-3))
+    d = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+    # grid == side-1: the vertex grid samples every pixel exactly once
+    pos, _, _ = build_mesh_arrays(d, grid=3, scale=1.0, offset=0.0, dmin=0.25, dmax=0.75)
+    np.testing.assert_allclose(pos[:, 2].reshape(4, 4), np.clip((d - 0.25) / 0.5, 0, 1), atol=1e-6)
+    # swapped bounds behave like (lo, hi)
+    pos_sw, _, _ = build_mesh_arrays(d, grid=3, scale=1.0, offset=0.0, dmin=0.75, dmax=0.25)
+    np.testing.assert_allclose(pos_sw[:, 2], pos[:, 2], atol=0)
+
+    # wire-level: clipped export still spans the full displacement range
+    status, _, body = _get(server["base"] + "/export/obj?grid=8&scale=0.5&offset=0.1&dmin=0.2&dmax=0.8")
+    assert status == 200
+    zs = [float(l.split()[3]) for l in body.decode().splitlines() if l.startswith("v ")]
+    assert min(zs) >= 0.1 - 1e-4 and max(zs) <= 0.6 + 1e-4
+    # degenerate band -> everything clamps to one of the two ends
+    status, _, body = _get(server["base"] + "/export/obj?grid=4&dmin=0.5&dmax=0.5")
+    assert status == 200
+    zs = {round(float(l.split()[3]), 5) for l in body.decode().splitlines() if l.startswith("v ")}
+    assert zs <= {0.0, 0.6}, zs
+
+
+def test_depth_clip_ui_consistency():
+    """The dmin/dmax feature stays consistent across its three homes: the
+    vertex shader remap, the JS remapDepth used by client exports, and the
+    sliders in index.html."""
+    js = open(osp.join(VIEWER_DIR, "viewer.js")).read()
+    html = open(osp.join(VIEWER_DIR, "index.html")).read()
+    assert "uniform float uDepthMin, uDepthMax;" in js
+    assert "clamp((d - uDepthMin) / max(uDepthMax - uDepthMin, 0.001), 0.0, 1.0)" in js
+    assert "function remapDepth" in js and "Math.max(r[1] - r[0], 0.001)" in js
+    assert 'id="depthMin"' in html and 'id="depthMax"' in html
+
+
 def test_mesh_math_matches_client_source():
     """Pin the Python exporter to the exact client formulas by reading the JS
     source: winding order, vertex position expressions, GLB chunk tags."""
