@@ -83,6 +83,8 @@ uniform sampler2D uDepthF;
 uniform float uUseMask;
 uniform float uViewMode; // 0 = image texture, 1 = depth gray, 2 = depth spectral
 uniform float uDepthMinF, uDepthMaxF;
+uniform float uEdgeThresh; // 0 = off; else discard pixels whose depth gradient exceeds it
+uniform vec2 uTexel;       // 1 / depth-texture size
 varying vec2 vUV;
 varying float vMask;
 float decodeDepthF(vec4 px) { return (px.r * 65536.0 + px.g * 256.0 + px.b) * 255.0 / 16777215.0; }
@@ -97,6 +99,17 @@ vec3 spectral(float t) {
 }
 void main() {
   if (uUseMask > 0.5 && vMask < 0.5) discard;
+  if (uEdgeThresh > 0.0) {
+    // interactive depth-edge cut (reference 3dviewer "Edge Threshold"):
+    // central-difference gradient of the decoded depth, tunable client-side
+    // without re-serving frames (the server's Sobel alpha is the precomputed
+    // default; this refines it per-pixel)
+    float dl = decodeDepthF(texture2D(uDepthF, vUV - vec2(uTexel.x, 0.0)));
+    float dr = decodeDepthF(texture2D(uDepthF, vUV + vec2(uTexel.x, 0.0)));
+    float du = decodeDepthF(texture2D(uDepthF, vUV - vec2(0.0, uTexel.y)));
+    float dd = decodeDepthF(texture2D(uDepthF, vUV + vec2(0.0, uTexel.y)));
+    if (abs(dr - dl) + abs(dd - du) > uEdgeThresh) discard;
+  }
   if (uViewMode < 0.5) {
     gl_FragColor = vec4(texture2D(uRGB, vUV).rgb, 1.0);
   } else {
@@ -222,6 +235,7 @@ const ui = {
   meshDensity: document.getElementById("meshDensity"),
   depthMin: document.getElementById("depthMin"),
   depthMax: document.getElementById("depthMax"),
+  edgeThresh: document.getElementById("edgeThresh"),
   status: document.getElementById("status"),
 };
 function syncLabels() {
@@ -351,6 +365,8 @@ function render() {
     gl.uniform1f(gl.getUniformLocation(program, "uDepthMax"), depthRange()[1]);
     gl.uniform1f(gl.getUniformLocation(program, "uDepthMinF"), depthRange()[0]);
     gl.uniform1f(gl.getUniformLocation(program, "uDepthMaxF"), depthRange()[1]);
+    gl.uniform1f(gl.getUniformLocation(program, "uEdgeThresh"), parseFloat(ui.edgeThresh.value));
+    gl.uniform2f(gl.getUniformLocation(program, "uTexel"), 1.0 / state.depthW, 1.0 / state.depthH);
     gl.drawElements(gl.TRIANGLES, indices.length, gl.UNSIGNED_INT, 0);
 
     if (ui.showFrustum.checked) {
