@@ -236,6 +236,7 @@ const ui = {
   depthMin: document.getElementById("depthMin"),
   depthMax: document.getElementById("depthMax"),
   edgeThresh: document.getElementById("edgeThresh"),
+  playback: document.getElementById("playback"),
   status: document.getElementById("status"),
 };
 function syncLabels() {
@@ -384,18 +385,39 @@ function render() {
   requestAnimationFrame(render);
 }
 
-// video playback loop
+// video playback loop + scrubber (reference 3dviewer playback_slider):
+// dragging seeks via the server's random-access /frame/N; playback keeps the
+// slider in sync; the control only shows for multi-frame sources
+let scrubbing = false;
+function syncScrubber(info) {
+  const row = document.getElementById("playbackRow");
+  if (!info || info.frame_count <= 1) { row.style.display = "none"; return; }
+  row.style.display = "";
+  ui.playback.max = String(info.frame_count - 1);
+  if (!scrubbing) ui.playback.value = String(state.frameIdx);
+}
+ui.playback.addEventListener("mousedown", () => { scrubbing = true; });
+ui.playback.addEventListener("input", async () => {
+  state.frameIdx = parseInt(ui.playback.value, 10) || 0;
+  try {
+    await fetchFrame(state.frameIdx);
+    ui.status.textContent = `frame ${state.frameIdx}`;
+  } catch (e) { ui.status.textContent = String(e); }
+});
+ui.playback.addEventListener("change", () => { scrubbing = false; });
+
 async function playbackLoop() {
   while (true) {
     const info = state.sourceInfo;
     const delay = info && info.fps > 0 ? 1000 / info.fps : 100;
-    if (state.playing && info && info.type !== "image") {
+    if (state.playing && !scrubbing && info && info.type !== "image") {
       state.frameIdx = info.frame_count > 0 ? (state.frameIdx + 1) % info.frame_count : state.frameIdx + 1;
       try {
         await fetchFrame(state.frameIdx);
         ui.status.textContent = `frame ${state.frameIdx}`;
       } catch (e) { ui.status.textContent = String(e); }
     }
+    syncScrubber(info);
     await new Promise((r) => setTimeout(r, delay));
   }
 }
