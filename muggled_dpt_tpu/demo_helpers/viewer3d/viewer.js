@@ -237,6 +237,7 @@ const ui = {
   depthMax: document.getElementById("depthMax"),
   edgeThresh: document.getElementById("edgeThresh"),
   playback: document.getElementById("playback"),
+  resScale: document.getElementById("resScale"),
   status: document.getElementById("status"),
 };
 function syncLabels() {
@@ -341,7 +342,13 @@ async function fetchFrame(idx) {
 // ---------------------------------------------------------------------------
 // Render loop
 function render() {
-  canvas.width = window.innerWidth; canvas.height = window.innerHeight;
+  // render-resolution scale (reference "Display Resolution" slider): the
+  // canvas backing store shrinks while CSS keeps it full-window
+  const res = parseFloat(ui.resScale.value);
+  canvas.width = Math.max(64, Math.round(window.innerWidth * res));
+  canvas.height = Math.max(64, Math.round(window.innerHeight * res));
+  canvas.style.width = window.innerWidth + "px";
+  canvas.style.height = window.innerHeight + "px";
   gl.viewport(0, 0, canvas.width, canvas.height);
   gl.clearColor(0.06, 0.06, 0.07, 1);
   gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
