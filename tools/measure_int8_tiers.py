@@ -37,6 +37,7 @@ CONFIGS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
+    ap.add_argument("--giant-only", action="store_true", help="measure only the giant")
     ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
     args = ap.parse_args()
 
@@ -50,7 +51,7 @@ def main():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (720, 1280, 3), np.uint8)
 
-    names = ["vitl"] if args.vitl_only else ["vitl", "giant"]
+    names = ["vitl"] if args.vitl_only else ["giant"] if args.giant_only else ["vitl", "giant"]
     for name in names:
         t0 = time.time()
         m = make_depthanythingv2_dpt(base_patch_grid_hw=(37, 37), patch_size_px=14,
