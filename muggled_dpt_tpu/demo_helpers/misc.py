@@ -24,9 +24,38 @@ def get_default_device_string() -> str:
 def select_device(device_str: str | None) -> None:
     """Force a JAX backend ('cpu' or 'tpu'/accelerator) — the apps' -d flag.
     Must be called before any device computation; the env var is unreliable
-    under PJRT plugins so this uses the config API."""
+    under PJRT plugins so this uses the config API.
+
+    Also starts backend init in a daemon thread: on a healthy accelerator it
+    warms the backend concurrently with weight loading; if the backend is
+    unreachable (e.g. a dropped TPU tunnel, where init blocks forever in C
+    code) a watchdog prints an actionable hint instead of the app hanging
+    silently at the first device op."""
     if device_str and device_str == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    import threading
+
+    done = threading.Event()
+
+    def _init():
+        try:
+            jax.devices()
+        except Exception:
+            pass  # the main thread will surface the real error
+        finally:
+            done.set()
+
+    def _watchdog():
+        if not done.wait(60.0):
+            print(
+                "*** Backend init has not completed after 60s — the accelerator may be "
+                "unreachable (TPU tunnel down?). Ctrl+C and retry with '-d cpu' to run on CPU.",
+                flush=True,
+            )
+
+    threading.Thread(target=_init, daemon=True).start()
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def make_device_config(device_str: str | None = None, use_float32: bool = False, prefer_bfloat16: bool = True) -> dict:
