@@ -207,3 +207,34 @@ def test_flash_online_separate_l_variant():
     ref = np.asarray(_naive(q, k, v))
     got = np.asarray(flash_attention(q, k, v, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_fuzz_shapes_dtypes():
+    """Seeded property sweep over awkward (n, h, d, dtype, bias, scale)
+    combinations — block-boundary n values (one-pass q-block splits, the
+    one-pass/online cutoff), the production head dim d=64, bf16 storage, and
+    custom scales — each vs the naive reference in interpret mode."""
+    from muggled_dpt_tpu.ops.pallas import flash_attention as fa
+
+    cases = [
+        # (n, h, d, dtype, with_bias, scale)
+        (127, 2, 64, jnp.float32, True, None),
+        (128, 1, 64, jnp.bfloat16, False, None),
+        (129, 2, 16, jnp.float32, True, 0.31),
+        (511, 1, 64, jnp.bfloat16, True, None),
+        (512, 2, 32, jnp.float32, False, 0.08),
+        (777, 1, 64, jnp.float32, True, None),
+        (fa.ONE_PASS_MAX_KV, 1, 32, jnp.float32, False, None),       # last one-pass n
+        (fa.ONE_PASS_MAX_KV + 1, 1, 32, jnp.float32, True, None),    # first online n
+    ]
+    for i, (n, h, d, dtype, with_bias, scale) in enumerate(cases):
+        rng = np.random.default_rng(100 + i)
+        q = jnp.asarray(rng.standard_normal((1, n, h, d)), dtype)
+        k = jnp.asarray(rng.standard_normal((1, n, h, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((1, n, h, d)), dtype)
+        bias = jnp.asarray(rng.standard_normal((1, h, n, n)), jnp.float32) if with_bias else None
+        ref = np.asarray(_naive(q.astype(jnp.float32), k.astype(jnp.float32),
+                                v.astype(jnp.float32), bias, scale), np.float32)
+        got = np.asarray(flash_attention(q, k, v, bias=bias, scale=scale, interpret=True), np.float32)
+        tol = 2e-2 if dtype == jnp.bfloat16 else 3e-4
+        np.testing.assert_allclose(got, ref, rtol=tol, atol=tol, err_msg=str(cases[i]))
