@@ -41,6 +41,8 @@ def build_mesh_arrays(depth_01: np.ndarray, grid: int = 320, scale: float = 0.6,
     px = np.minimum(w - 1, np.floor(uu * (w - 1) + 0.5).astype(np.int64))
     py = np.minimum(h - 1, np.floor(vv * (h - 1) + 0.5).astype(np.int64))
     d = depth_01[py, px].astype(np.float32)
+    if not (np.isfinite(dmin) and np.isfinite(dmax)):
+        dmin, dmax = 0.0, 1.0  # non-finite range would NaN every vertex
     if (dmin, dmax) != (0.0, 1.0):
         lo, hi = (dmin, dmax) if dmin < dmax else (dmax, dmin)
         d = np.clip((d - lo) / max(hi - lo, 0.001), 0.0, 1.0)

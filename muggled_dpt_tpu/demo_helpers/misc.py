@@ -15,10 +15,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def run_with_backend_watchdog(fn, timeout_s: float = 60.0, what: str = "Backend init"):
+    """Run ``fn()`` (a call expected to touch the accelerator for the first
+    time) with a watchdog thread that prints an actionable hint if it blocks
+    past ``timeout_s`` — e.g. a dropped TPU tunnel, where backend init hangs
+    forever inside C code with no Python-level error. The watchdog is passive:
+    it never initializes the backend itself, so a run that exits early (bad
+    checkpoint path, Ctrl+C at a prompt) never leaves a half/fully-initialized
+    exclusive-access TPU client behind."""
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"*** {what} has not completed after {timeout_s:.0f}s — the accelerator may be "
+                "unreachable (TPU tunnel down?). Exit and retry with '-d cpu' to run on CPU.",
+                flush=True,
+            )
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        return fn()
+    finally:
+        done.set()
+
+
 def get_default_device_string() -> str:
-    """'tpu' when a TPU/accelerator is attached, else 'cpu'."""
-    platform = jax.devices()[0].platform
-    return platform
+    """'tpu' when a TPU/accelerator is attached, else 'cpu'.
+
+    This is the apps' first device-touching call (via make_device_config), so
+    it carries the unreachable-backend watchdog."""
+    devices = run_with_backend_watchdog(jax.devices)
+    return devices[0].platform
 
 
 def select_device(device_str: str | None) -> None:
@@ -26,36 +56,12 @@ def select_device(device_str: str | None) -> None:
     Must be called before any device computation; the env var is unreliable
     under PJRT plugins so this uses the config API.
 
-    Also starts backend init in a daemon thread: on a healthy accelerator it
-    warms the backend concurrently with weight loading; if the backend is
-    unreachable (e.g. a dropped TPU tunnel, where init blocks forever in C
-    code) a watchdog prints an actionable hint instead of the app hanging
-    silently at the first device op."""
+    Deliberately config-only: backend init happens at the app's first real
+    device op (inside run_with_backend_watchdog), never eagerly at startup —
+    an early-exiting run (bad args, missing checkpoint) must not have touched
+    the exclusive-access TPU at all."""
     if device_str and device_str == "cpu":
         jax.config.update("jax_platforms", "cpu")
-
-    import threading
-
-    done = threading.Event()
-
-    def _init():
-        try:
-            jax.devices()
-        except Exception:
-            pass  # the main thread will surface the real error
-        finally:
-            done.set()
-
-    def _watchdog():
-        if not done.wait(60.0):
-            print(
-                "*** Backend init has not completed after 60s — the accelerator may be "
-                "unreachable (TPU tunnel down?). Ctrl+C and retry with '-d cpu' to run on CPU.",
-                flush=True,
-            )
-
-    threading.Thread(target=_init, daemon=True).start()
-    threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def make_device_config(device_str: str | None = None, use_float32: bool = False, prefer_bfloat16: bool = True) -> dict:

@@ -301,7 +301,11 @@ canvas.addEventListener("wheel", (e) => {
 
 // ---------------------------------------------------------------------------
 // Frame fetching / decoding
+let fetchGen = 0; // serializes concurrent fetches (fast scrubbing): only the
+                  // newest request is allowed to touch textures/state, so an
+                  // out-of-order response can't leave the display on a stale frame
 async function fetchFrame(idx) {
+  const gen = ++fetchGen;
   const resp = await fetch(`/frame/${idx}`);
   if (!resp.ok) throw new Error(`frame fetch failed: ${resp.status}`);
   const rgbSize = parseInt(resp.headers.get("X-rgb-size"));
@@ -309,6 +313,7 @@ async function fetchFrame(idx) {
   const rgbBlob = new Blob([buf.slice(0, rgbSize)], { type: "image/jpeg" });
   const depthBlob = new Blob([buf.slice(rgbSize)], { type: "image/png" });
   const [rgbBmp, depthBmp] = await Promise.all([createImageBitmap(rgbBlob), createImageBitmap(depthBlob)]);
+  if (gen !== fetchGen) return; // superseded by a newer request while decoding
 
   // upload rgb texture
   gl.activeTexture(gl.TEXTURE0);
@@ -369,10 +374,13 @@ function render() {
     gl.uniform1f(gl.getUniformLocation(program, "uAspect"), state.aspect);
     gl.uniform1f(gl.getUniformLocation(program, "uUseMask"), ui.useMask.checked ? 1 : 0);
     gl.uniform1f(gl.getUniformLocation(program, "uViewMode"), parseFloat(ui.viewMode.value));
-    gl.uniform1f(gl.getUniformLocation(program, "uDepthMin"), depthRange()[0]);
-    gl.uniform1f(gl.getUniformLocation(program, "uDepthMax"), depthRange()[1]);
-    gl.uniform1f(gl.getUniformLocation(program, "uDepthMinF"), depthRange()[0]);
-    gl.uniform1f(gl.getUniformLocation(program, "uDepthMaxF"), depthRange()[1]);
+    // the *F pair exists because the fragment stage is mediump (sharing one
+    // uniform name across stages with different precision is a link error)
+    const [dLo, dHi] = depthRange();
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMin"), dLo);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMax"), dHi);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMinF"), dLo);
+    gl.uniform1f(gl.getUniformLocation(program, "uDepthMaxF"), dHi);
     gl.uniform1f(gl.getUniformLocation(program, "uEdgeThresh"), parseFloat(ui.edgeThresh.value));
     gl.uniform2f(gl.getUniformLocation(program, "uTexel"), 1.0 / state.depthW, 1.0 / state.depthH);
     gl.drawElements(gl.TRIANGLES, indices.length, gl.UNSIGNED_INT, 0);
@@ -403,7 +411,12 @@ function syncScrubber(info) {
   ui.playback.max = String(info.frame_count - 1);
   if (!scrubbing) ui.playback.value = String(state.frameIdx);
 }
-ui.playback.addEventListener("mousedown", () => { scrubbing = true; });
+// pointerdown sets the flag; a document-level pointerup clears it — relying
+// on the slider's 'change' event alone would leave scrubbing stuck true (and
+// playback frozen) when the user releases without a net value change
+ui.playback.addEventListener("pointerdown", () => { scrubbing = true; });
+document.addEventListener("pointerup", () => { scrubbing = false; });
+document.addEventListener("pointercancel", () => { scrubbing = false; });
 ui.playback.addEventListener("input", async () => {
   state.frameIdx = parseInt(ui.playback.value, 10) || 0;
   try {
@@ -411,7 +424,6 @@ ui.playback.addEventListener("input", async () => {
     ui.status.textContent = `frame ${state.frameIdx}`;
   } catch (e) { ui.status.textContent = String(e); }
 });
-ui.playback.addEventListener("change", () => { scrubbing = false; });
 
 async function playbackLoop() {
   while (true) {

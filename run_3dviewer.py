@@ -251,8 +251,11 @@ def make_handler(model, source, max_side, is_metric, mask=None, crop=None,
                 q = parse_qs(self.path.split("?")[1]) if "?" in self.path else {}
 
                 def qf(name, default, cast=float):
+                    # non-finite floats ('nan'/'inf' parse fine) would poison
+                    # every exported vertex via the depth remap — reject them
                     try:
-                        return cast(q[name][0])
+                        val = cast(q[name][0])
+                        return val if np.isfinite(val) else default
                     except (KeyError, ValueError, IndexError):
                         return default
 

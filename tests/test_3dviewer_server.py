@@ -325,11 +325,20 @@ def test_export_depth_range_clipping(server):
     pos_sw, _, _ = build_mesh_arrays(d, grid=3, scale=1.0, offset=0.0, dmin=0.75, dmax=0.25)
     np.testing.assert_allclose(pos_sw[:, 2], pos[:, 2], atol=0)
 
-    # wire-level: clipped export still spans the full displacement range
+    # wire-level: clipped export still spans the full displacement range.
+    # The served depth is normalize_01'd (min 0, max 1), so values outside the
+    # 0.2..0.8 band exist and must clamp onto BOTH band ends — asserting the
+    # bounds alone would pass a regression that stopped remapping entirely.
     status, _, body = _get(server["base"] + "/export/obj?grid=8&scale=0.5&offset=0.1&dmin=0.2&dmax=0.8")
     assert status == 200
     zs = [float(l.split()[3]) for l in body.decode().splitlines() if l.startswith("v ")]
     assert min(zs) >= 0.1 - 1e-4 and max(zs) <= 0.6 + 1e-4
+    assert min(zs) <= 0.1 + 1e-4 and max(zs) >= 0.6 - 1e-4
+    # non-finite query params must not poison the mesh (nan parses as float)
+    status, _, body = _get(server["base"] + "/export/obj?grid=4&dmin=nan&dmax=inf&scale=nan")
+    assert status == 200
+    zs = [float(l.split()[3]) for l in body.decode().splitlines() if l.startswith("v ")]
+    assert all(np.isfinite(z) for z in zs), "non-finite vertices leaked into the export"
     # degenerate band -> everything clamps to one of the two ends
     status, _, body = _get(server["base"] + "/export/obj?grid=4&dmin=0.5&dmax=0.5")
     assert status == 200

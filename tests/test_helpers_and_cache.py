@@ -130,3 +130,35 @@ def test_prepare_image_bgr_nhwc_matches_bchw_path():
     nhwc = np.asarray(m.prepare_image_bgr_nhwc(img, 112))
     assert nhwc.shape == (1, 112, 112, 3)
     np.testing.assert_array_equal(nhwc, bchw.transpose(0, 2, 3, 1))
+
+
+def test_backend_watchdog_passive_and_transparent(capsys):
+    """run_with_backend_watchdog passes through results/exceptions, prints the
+    unreachable-backend hint only when the wrapped call overruns its timeout,
+    and select_device never touches the backend eagerly (an early-exiting app
+    run must not leave an initialized exclusive-access TPU client behind)."""
+    import inspect
+    import time
+
+    from muggled_dpt_tpu.demo_helpers import misc
+
+    # transparent pass-through, no warning for a fast call
+    assert misc.run_with_backend_watchdog(lambda: 41 + 1, timeout_s=5.0) == 42
+    assert "unreachable" not in capsys.readouterr().out
+
+    # exceptions propagate and still disarm the watchdog
+    with pytest.raises(RuntimeError, match="boom"):
+        misc.run_with_backend_watchdog(lambda: (_ for _ in ()).throw(RuntimeError("boom")).close(), timeout_s=5.0)
+    assert "unreachable" not in capsys.readouterr().out
+
+    # a call that blocks past the timeout triggers the hint
+    def _slow():
+        time.sleep(0.25)
+        return "done"
+
+    assert misc.run_with_backend_watchdog(_slow, timeout_s=0.05) == "done"
+    assert "unreachable" in capsys.readouterr().out
+
+    # select_device is config-only: no thread spawn, no jax.devices() call
+    src = inspect.getsource(misc.select_device)
+    assert "jax.devices" not in src and "Thread" not in src

@@ -36,8 +36,9 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
-    ap.add_argument("--giant-only", action="store_true", help="measure only the giant")
+    which = ap.add_mutually_exclusive_group()
+    which.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
+    which.add_argument("--giant-only", action="store_true", help="measure only the giant")
     ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
     args = ap.parse_args()
 
