@@ -127,9 +127,14 @@ def _heads_per_program(num_heads: int, d: int) -> int | None:
     return None
 
 
-def fused_qkv_supported(n: int, num_heads: int, d: int) -> bool:
-    """One-pass regime + a head grouping that satisfies lane alignment."""
-    return _round_up(n, 128) <= ONE_PASS_MAX_KV and _heads_per_program(num_heads, d) is not None
+def fused_qkv_supported(n: int, num_heads: int, d: int, max_kv: int | None = None) -> bool:
+    """One-pass regime + a head grouping that satisfies lane alignment.
+
+    max_kv overrides the serving cutoff (ONE_PASS_MAX_KV) — the kernel itself
+    is VMEM-feasible somewhat past it (see flash_attention_fused_qkv's budget
+    assert); tools/flash_tune.py measures where the cutover actually pays."""
+    limit = ONE_PASS_MAX_KV if max_kv is None else max_kv
+    return _round_up(n, 128) <= limit and _heads_per_program(num_heads, d) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -156,8 +161,18 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     scale = (d ** -0.5) if scale is None else scale
     n_pad = _round_up(n, 128)
     hpp = _heads_per_program(num_heads, d)
-    assert hpp is not None and fused_qkv_supported(n, num_heads, d), (
-        "fused-qkv path unsupported for this shape; use flash_attention"
+    assert hpp is not None, (
+        "fused-qkv path needs a head grouping satisfying the 128-lane rule; use flash_attention"
+    )
+    # Feasibility here is a VMEM question, not the serving cutoff: the hpp
+    # unrolled (n_pad, n_pad) f32 logit tiles (plus qkv/out slabs) must fit
+    # the ~128 MB physical VMEM. ops/nn.py gates the serving dispatch at
+    # ONE_PASS_MAX_KV; direct callers past it (the cutover sweep) are fine
+    # as long as this budget holds.
+    base_logit_bytes = hpp * n_pad * n_pad * 4
+    assert base_logit_bytes + 16 * 1024 * 1024 <= 120 * 1024 * 1024, (
+        f"fused-qkv one-pass needs ~{(base_logit_bytes >> 20) + 16} MB VMEM at "
+        f"n_pad={n_pad}, hpp={hpp} (over the 128 MB physical budget); use flash_attention"
     )
 
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -167,9 +182,12 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         # the hpp unrolled (N_pad, N_pad) f32 logit tiles exceed the default
-        # 16 MB scoped-vmem budget; the one-pass cutoff keeps the true need
-        # well under the 128 MB physical VMEM
-        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        # 16 MB scoped-vmem budget; scale the limit with the actual tile need
+        # (past-cutoff callers reach ~90 MB) while staying under the 128 MB
+        # physical VMEM
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=max(100 * 1024 * 1024, base_logit_bytes + 16 * 1024 * 1024)
+        )
 
     if bias is not None or bias_stack is not None:
         # Biased-path VMEM budget: the hpp unrolled f32 logit tiles PLUS the
@@ -353,17 +371,31 @@ def _fit_bias(bias, rows, cols, n_rows=None, n_cols=None):
     return jnp.pad(bias, pad) if any(p != (0, 0) for p in pad) else bias
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "one_pass"))
+def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interpret=False,
+                          one_pass=None):
     """q/k/v: (BH, N, D), q already multiplied by the softmax scale.
-    bias: optional (BH, N, N). Returns (BH, N, D)."""
+    bias: optional (BH, N, N). Returns (BH, N, D).
+
+    one_pass: None picks the kernel by the ONE_PASS_MAX_KV cutoff; True/False
+    force a kernel (the cutover sweep, tools/flash_tune.py, measures both
+    slightly past the cutoff — the one-pass VMEM budget allows it)."""
     bh, n, d = q.shape
     n_pad128 = _round_up(n, 128)
 
-    if n_pad128 <= ONE_PASS_MAX_KV:
+    if one_pass if one_pass is not None else (n_pad128 <= ONE_PASS_MAX_KV):
         # ---- one-pass: whole key range per program ----
         if block_q is None:
-            block_q = min(n_pad128, max(128, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128))
+            # largest 128-multiple whose f32 logit tile fits the budget,
+            # preferring blocks that minimize dead padded q rows (a whole-N
+            # block is exact below the cutoff; past it — forced one_pass —
+            # the naive cap can pad up to ~45% dead rows)
+            cap = min(n_pad128, max(128, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128))
+            block_q, best_pad = cap, _round_up(n_pad128, cap)
+            for cand in range(cap, 511, -128):
+                padded = _round_up(n_pad128, cand)
+                if padded < best_pad:
+                    block_q, best_pad = cand, padded
         block_q = min(block_q, n_pad128)
         n_pad_q = _round_up(n, block_q)
         exp2_domain = bias is None  # biased logits stay in natural-exp units

@@ -238,3 +238,50 @@ def test_flash_fuzz_shapes_dtypes():
         got = np.asarray(flash_attention(q, k, v, bias=bias, scale=scale, interpret=True), np.float32)
         tol = 2e-2 if dtype == jnp.bfloat16 else 3e-4
         np.testing.assert_allclose(got, ref, rtol=tol, atol=tol, err_msg=str(cases[i]))
+
+
+@pytest.mark.parametrize("n", [2917, 1024])  # past and below the serving cutoff
+@pytest.mark.parametrize("force", [True, False])
+def test_forced_kernel_choice_matches_naive(n, force):
+    """one_pass=True/False overrides the ONE_PASS_MAX_KV dispatch (the cutover
+    sweep measures both kernels on either side of the cutoff); results must
+    match the naive reference regardless of which kernel is forced. n=2917 is
+    the 756-px DA token count the sweep targets."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import _flash_bhnd_prescaled
+
+    rng = np.random.default_rng(0)
+    bh, d = 2, 64
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    scale = d ** -0.5
+
+    ref = np.asarray(_naive(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]))[:, :, 0, :]
+    got = np.asarray(_flash_bhnd_prescaled(q * scale, k, v, interpret=True, one_pass=force))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_qkv_past_cutoff_matches_naive():
+    """The fused-qkv kernel stays correct past ONE_PASS_MAX_KV (gated only by
+    its VMEM budget) — the 756-px cutover candidate shape."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import (
+        flash_attention_fused_qkv,
+        fused_qkv_supported,
+    )
+
+    n, h, d = 2917, 2, 64
+    assert not fused_qkv_supported(n, h, d)          # serving gate still refuses
+    assert fused_qkv_supported(n, h, d, max_kv=4096)  # explicit override allows
+    rng = np.random.default_rng(1)
+    b = 1
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    # head-major [head][q|k|v][dim] fused layout
+    qkv = jnp.stack([q, k, v], axis=3).reshape(b, n, 3 * h * d)
+
+    ref = np.asarray(_naive(q, k, v))
+    got = np.asarray(
+        flash_attention_fused_qkv(qkv, h, interpret=True).reshape(b, n, h, d)
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)

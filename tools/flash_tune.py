@@ -51,9 +51,9 @@ def main():
     for n in ns:
         q = jnp.asarray(rng.standard_normal((h, n, d)), jnp.bfloat16)
 
-        def make_fn(bq, bk):
+        def make_fn(bq, bk, one_pass=None):
             def fn(x):
-                o = _flash_bhnd_prescaled(x, x, x, None, block_q=bq, block_k=bk)
+                o = _flash_bhnd_prescaled(x, x, x, None, block_q=bq, block_k=bk, one_pass=one_pass)
                 return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
             return fn
 
@@ -71,10 +71,35 @@ def main():
             print(f"  xla dpa failed: {type(e).__name__}")
         for bq, bk in ((None, None), (1024, 1024), (2048, 1024), (4096, 1024)):
             try:
-                t = timeit_chain(make_fn(bq, bk), q)
+                t = timeit_chain(make_fn(bq, bk, one_pass=False), q)
                 print(f"  online bq={str(bq):<5} bk={str(bk):<5}      {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
                 print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
+        # one-pass cutover probe: the kernel is VMEM-feasible a bit past the
+        # serving cutoff (n_pad <= ~4096 at D=64); if it beats the online
+        # kernel at 756-px token counts (N=2917), raise ONE_PASS_MAX_KV
+        if n <= 4100:
+            for bq in (None, 512, 1024):
+                try:
+                    t = timeit_chain(make_fn(bq, None, one_pass=True), q)
+                    print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
+            # fused-qkv one-pass (the actual DA serving path): reads the
+            # head-major qkv projection output directly, hpp heads/program
+            from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+
+            qkv = jnp.asarray(rng.standard_normal((1, n, 3 * h * d)), jnp.bfloat16)
+
+            def fused_fn(x):
+                o = flash_attention_fused_qkv(x, h)
+                return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
+
+            try:
+                t = timeit_chain(fused_fn, qkv)
+                print(f"  fused-qkv one-pass            {t*1e3:8.2f} ms")
+            except Exception as e:  # noqa: BLE001
+                print(f"  fused-qkv one-pass            failed: {type(e).__name__}")
 
 
 if __name__ == "__main__":

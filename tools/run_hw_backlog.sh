@@ -49,6 +49,7 @@ step bench         1800 python bench.py
 step tpu_sanity    2400 python tools/tpu_sanity.py
 step sizes_unroll  3000 python tools/bench_sizes.py --unroll 756 1036
 step int8_vitl     1800 python tools/measure_int8_tiers.py --vitl-only
+step flash_cutover 1500 python tools/flash_tune.py 2917 3250 4097
 step int8_giant    7200 python tools/measure_int8_tiers.py --giant-only
 
 echo "=== done $(date). Update docs/performance.md + ROUND3_NOTES.md with these numbers." | tee -a "$OUT/summary.log"
