@@ -13,12 +13,13 @@ GridCache machinery; async dispatch replaces torch's non_blocking copies."""
 
 from __future__ import annotations
 
-
+from contextlib import nullcontext as _nullcontext
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.quant import is_scale_key
 from .ops.resize import resize_2d
 
 
@@ -73,21 +74,23 @@ class DPTModel:
         self._infer_jit = jax.jit(_infer, static_argnums=(2,))
         self._prep_jit = jax.jit(_prep, static_argnums=(1,))
         self._capture_fn = family_spec.get("forward_capture")
+        # one jit wrapper for the aux builder, so clear_cache() + re-derive at
+        # a previously-seen grid hits jax's executable cache instead of
+        # re-tracing a fresh wrapper per cache miss
+        self._aux_jit = (
+            jax.jit(self._make_aux, static_argnums=(1,)) if self._make_aux is not None else None
+        )
 
     def _cast_dtype(self, a, path=()):
         a = np.asarray(a)
         # int8 dequant scales and SmoothQuant activation factors stay f32:
         # bf16-rounding them would add ~0.3% per-channel error on top of the
         # int8 error — and the act_smooth inverse must cancel the f32 factor
-        # folded into the weights exactly (ops/quant.py recipe)
+        # folded into the weights exactly. The key predicate lives beside the
+        # code that CREATES those keys (ops/quant.py:is_scale_key), so adding
+        # a new quantized op can't silently miss this cast exemption.
         key = str(getattr(path[-1], "key", "")) if path else ""
-        if key.endswith(("_kernel_scale", "_kernel9_scale", "_act_smooth")) or key == "kernel_scale" or (
-            # fused reassembly tap scales: t00_scale .. t22_scale (ops/quant.py
-            # quantize_reassembly_params). NOT a bare "_scale" suffix match —
-            # norm*_scale / logit_scale are ordinary params that must follow
-            # the compute dtype.
-            len(key) == 9 and key.startswith("t") and key.endswith("_scale")
-        ):
+        if is_scale_key(key):
             return a.dtype
         return self._dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
 
@@ -104,15 +107,22 @@ class DPTModel:
             # HBM-budget check: mirror the reference's OOM->disable-cache
             # fallback (v31_beit/image_encoder_model.py:101-117) but predictive,
             # using the exact bias-size math (relative_positional_encoder.py:313-332).
+            # The budget counts what is already resident (params + previously
+            # cached grids) so a session cycling many grids can't creep past it.
             estimate = self.spec.get("aux_bytes_estimate")
-            if estimate is not None and not _fits_hbm_budget(estimate(self.config, grid_hw)):
+            if estimate is not None and not _fits_hbm_budget(
+                estimate(self.config, grid_hw),
+                resident_bytes=_tree_bytes(self.params) + _tree_bytes(self._aux_cache),
+            ):
                 print(
                     "*** WARNING ***\n"
                     "Not enough device memory for relpos caching! Caching disabled for this grid..."
                 )
+                # negative-cache the decision: without this, every frame at
+                # this grid re-runs the estimate and re-prints the banner
+                self._aux_cache[grid_hw] = None
                 return None
-            fn = jax.jit(self._make_aux, static_argnums=(1,))
-            aux = fn(self.params, grid_hw)
+            aux = self._aux_jit(self.params, grid_hw)
             # store in the compute dtype (e.g. bf16): halves cache HBM cost
             # and bandwidth; logits still accumulate in f32
             aux = jax.tree_util.tree_map(
@@ -128,7 +138,12 @@ class DPTModel:
     def prewarm(self, max_side_lengths, use_square_sizing=True, image_hw=(720, 1280)):
         """Compile-ahead for a list of sizes so interactive size switching
         (run_image's size slider) doesn't stall on first use. Returns the
-        scaled sizes that were warmed."""
+        scaled sizes that were warmed.
+
+        image_hw MUST be the actual capture resolution: the fused prep+forward
+        program is traced on the raw frame shape as well as the scaled size,
+        so warming at the default (720, 1280) does nothing for e.g. 1080p
+        input — pass `frame.shape[:2]` from the source you will serve."""
         warmed = []
         dummy = np.zeros((*image_hw, 3), dtype=np.uint8)
         for side in max_side_lengths:
@@ -224,7 +239,19 @@ class DPTModel:
         return self._capture_fn(self.params, x, aux)
 
     def to(self, dtype):
-        """Return a copy of this model with a different compute dtype."""
+        """Return a copy of this model with a different compute dtype.
+
+        Upcasting (e.g. bf16 -> f32) starts from THIS model's already-rounded
+        weights, not the checkpoint: the result runs f32 arithmetic over
+        bf16-rounded values. That is exactly what the ONNX export parity check
+        wants (compare against the upcast of what was exported), but it is NOT
+        the bit-parity f32 mode — reload from the checkpoint with dtype=f32
+        for that. A one-line notice makes the distinction impossible to miss."""
+        if jnp.finfo(dtype).bits > jnp.finfo(self._dtype).bits:
+            print(
+                f"Note: .to({jnp.dtype(dtype).name}) upcasts {jnp.dtype(self._dtype).name}-rounded "
+                "weights; for checkpoint-exact parity mode reload with dtype=float32."
+            )
         return DPTModel(self.params, self.config, self.spec, dtype=dtype)
 
     def quantize_encoder_int8(
@@ -274,7 +301,20 @@ class DPTModel:
                     reset_collection_pass()
                     x = self.prepare_image_bgr(img, max_side_length)
                     self.forward_with_internals(x)
+            if not stats:
+                # the collector only sees EAGER forwards; if the capture path
+                # ever runs traced, stats stay empty and the tier would
+                # silently degrade to uncalibrated dynamic quantization —
+                # exactly what the caller passed calibration images to avoid
+                raise RuntimeError(
+                    "int8 calibration recorded no activation stats (capture "
+                    "forward did not run eagerly?) — refusing to quantize "
+                    "without the smoothing the calibration images were for"
+                )
             smoothing = compute_smoothing(enc["blocks"], stats, subset)
+            missing = [n for n in subset if n + "_kernel" in enc["blocks"] and n not in smoothing]
+            if missing:
+                print(f"int8 calibration: no activation stats for {missing}; those stay dynamic-only")
         if isinstance(enc, dict) and "blocks" in enc:
             params["encoder"] = {**enc, "blocks": quantize_block_params(enc["blocks"], subset, smoothing=smoothing)}
         elif isinstance(enc, dict) and "stages" in enc:
@@ -302,7 +342,13 @@ def _with_fused_reassembly(params):
     (ops/nn.py:fuse_transpose_conv3x3_weights). Contracted once in f32 at
     build; cast to the compute dtype with the rest of the pytree. Stages are
     recognized by the s x s resample kernel (s in {2,4}); already-fused params
-    (DPTModel.to / quantize copies) pass through unchanged."""
+    (DPTModel.to / quantize copies) pass through unchanged.
+
+    The dense resample/fuse kernels are deliberately KEPT alongside the fused
+    weights even though the bf16 serving path never reads them: .to(float32)
+    (the ONNX export parity check) and the f32 branch of reassemble_stage
+    need the originals, and they are device-put once — the cost is idle HBM
+    residency, not per-call traffic."""
     stages = params.get("reassemble") if isinstance(params, dict) else None
     if not stages:
         return params
@@ -321,25 +367,29 @@ def _with_fused_reassembly(params):
     return {**params, "reassemble": type(stages)(new_stages) if not isinstance(stages, list) else new_stages}
 
 
-def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5) -> bool:
+def _tree_bytes(tree) -> int:
+    """Total nbytes of the array leaves of a pytree (0 for non-arrays)."""
+    return sum(int(getattr(l, "nbytes", 0)) for l in jax.tree_util.tree_leaves(tree))
+
+
+def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5, resident_bytes: int = 0) -> bool:
     """True if `needed_bytes` fits in the free device memory (with headroom).
-    When memory stats are unavailable (CPU backend), always allow."""
+
+    resident_bytes: what the model already holds (params + cached aux) — used
+    only by the stats-unavailable fallback, where live bytes_in_use can't be
+    read (this repo's TPU backend returns None from memory_stats(), so the
+    fallback IS the deployed path: without it each new grid would be judged
+    against a flat budget while the cache grows unbounded)."""
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit")
         in_use = stats.get("bytes_in_use", 0)
         if not limit:
             # stats unavailable (some PJRT plugins): assume a conservative
-            # 8 GB of headroom rather than allowing unbounded caches
-            return needed_bytes < 8 * 1024**3
+            # 8 GB of headroom for params + every cached grid together
+            return resident_bytes + needed_bytes < 8 * 1024**3
         return needed_bytes < (limit - in_use) * safety_fraction
     except Exception:
         return True
 
 
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

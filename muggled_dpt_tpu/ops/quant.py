@@ -31,6 +31,25 @@ import jax.numpy as jnp
 # block. LayerScale/LN params are vectors; proj inside attention included.
 QUANTIZABLE = ("qkv", "proj", "fc1", "fc2", "w12", "w3")
 
+
+def is_scale_key(key: str) -> bool:
+    """True for pytree leaf names that must NOT follow the model's compute
+    dtype: int8 dequant scales and SmoothQuant activation factors stay f32
+    (bf16-rounding them adds ~0.3%/channel error on top of the int8 error,
+    and the act_smooth inverse must exactly cancel the factor folded into
+    the weights). Lives here — beside every call that creates these keys
+    (quantize_weight / quantize_conv3x3_weight siblings, compute_smoothing
+    act_smooth) — so a new quantized op updates predicate and keys together;
+    DPTModel._cast_dtype consumes it. NOT a bare '_scale' suffix match:
+    norm*_scale / logit_scale are ordinary params that follow the compute
+    dtype. The t??_scale form is the fused reassembly tap scales
+    (quantize_reassembly_params: t00_scale .. t22_scale)."""
+    return (
+        key.endswith(("_kernel_scale", "_kernel9_scale", "_act_smooth"))
+        or key == "kernel_scale"
+        or (len(key) == 9 and key[0] == "t" and key[1:3].isdigit() and key.endswith("_scale"))
+    )
+
 # Active activation-stats collector (calibration runs only; None in serving).
 _COLLECTOR: dict | None = None
 
@@ -42,7 +61,7 @@ def collect_activation_stats():
     Python loops, so `linear_p` sees concrete arrays). Yields a dict
     {name: [amax_per_channel_layer0, amax_layer1, ...]} accumulated across
     all forwards run inside the context — the calibration side of the
-    SmoothQuant-style int8 tier (`calibrate_smoothing`)."""
+    SmoothQuant-style int8 tier (`compute_smoothing`)."""
     global _COLLECTOR
     stats: dict[str, list] = {}
     _COLLECTOR = {"stats": stats, "cursor": {}}
@@ -88,7 +107,7 @@ def linear_w8a8(x, kernel_q8, kernel_scale, bias=None, act_smooth=None):
     activation quantization + s8 x s8 -> s32 MXU matmul + rank-1 dequant.
 
     act_smooth: optional per-input-channel inverse smoothing vector (in,)
-    from `calibrate_smoothing` — x is divided channel-wise before the
+    from `compute_smoothing` — x is divided channel-wise before the
     per-token quantization (the matching multiply is folded into the stored
     int8 weights), flattening outlier channels so the shared per-token scale
     stops crushing the resolution of the other channels (SmoothQuant,

@@ -162,3 +162,65 @@ def test_backend_watchdog_passive_and_transparent(capsys):
     # select_device is config-only: no thread spawn, no jax.devices() call
     src = inspect.getsource(misc.select_device)
     assert "jax.devices" not in src and "Thread" not in src
+
+
+def test_aux_budget_negative_cached_and_cumulative(capsys):
+    """An over-budget grid prints the cache-disabled warning ONCE (the
+    decision is negative-cached, not re-evaluated per frame), and the
+    stats-unavailable budget fallback counts resident params + cached grids
+    instead of judging each new grid against the flat limit alone."""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu.dpt import _fits_hbm_budget
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    m.spec = {**m.spec, "aux_bytes_estimate": lambda cfg, grid: 1 << 62}  # always over budget
+    assert m._get_aux((8, 8)) is None
+    first = capsys.readouterr().out
+    assert "Caching disabled" in first
+    assert m._get_aux((8, 8)) is None  # served from the negative cache
+    assert "Caching disabled" not in capsys.readouterr().out
+
+    # fallback budget: the same request passes with nothing resident but
+    # fails once resident bytes approach the 8 GB assumption
+    assert _fits_hbm_budget(1 << 30, resident_bytes=0)
+    assert not _fits_hbm_budget(1 << 30, resident_bytes=8 * 1024**3)
+
+
+def test_to_upcast_notice_and_scale_keys(capsys):
+    """.to() prints the bf16-rounded-weights notice only when upcasting, and
+    the f32-exempt scale-key predicate matches exactly the int8 leaf names."""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+    from muggled_dpt_tpu.ops.quant import is_scale_key
+
+    m = make_depthanythingv2_dpt(64, 1, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    m16 = m.to(jnp.bfloat16)  # downcast: silent
+    assert "upcasts" not in capsys.readouterr().out
+    m16.to(jnp.float32)  # upcast: notice
+    assert "upcasts" in capsys.readouterr().out
+
+    for key in ("qkv_kernel_scale", "proj_kernel_scale", "kernel_scale",
+                "w9_kernel9_scale", "qkv_act_smooth", "t00_scale", "t22_scale"):
+        assert is_scale_key(key), key
+    for key in ("norm1_scale", "logit_scale", "t0_scale", "tap_scale", "scale"):
+        assert not is_scale_key(key), key
+
+
+def test_int8_calibration_refuses_empty_stats(monkeypatch):
+    """If the eager capture forwards record nothing (e.g. the capture path ran
+    traced), calibration must raise instead of silently shipping an
+    uncalibrated int8 model."""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu import ops
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    monkeypatch.setattr(ops.quant, "_record_activation", lambda name, x: None)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (60, 80, 3), np.uint8)]
+    with pytest.raises(RuntimeError, match="no activation stats"):
+        m.quantize_encoder_int8(include_qkv=True, calibration_images=frames)
