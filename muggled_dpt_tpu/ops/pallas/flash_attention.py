@@ -75,8 +75,13 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, exp2_domain=False, bi
         s = s + bias_ref[0].astype(jnp.float32)
     kv_pad = s.shape[1]
     if kv_len < kv_pad:
-        col = lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        # additive (1, KV_pad) row mask instead of a full-tile iota/where:
+        # the row-shaped iota+select are near-free on the VPU and the
+        # broadcast add is ONE full-tile pass (vs ~3 for iota+cmp+select
+        # at tile size) — numerically identical since |s| stays far from
+        # the -1e30 sentinel
+        col = lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        s = s + jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -98,7 +103,13 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
     # with the non-kernel fallback paths — stay in logit units
     exp2_domain = bias_ref is None
     qscale = scale * LOG2E if exp2_domain else scale
-    col = lax.broadcasted_iota(jnp.int32, (slab.shape[0], kv_pad), 1) if kv_len < kv_pad else None
+    mask_row = None
+    if kv_len < kv_pad:
+        # (1, KV_pad) additive pad mask, built once for all heads — each
+        # head's masking is then a single broadcast add instead of a
+        # full-tile compare+select (see _onepass_kernel)
+        col = lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        mask_row = jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
     for j in range(hpp):
         base = j * 3 * d
         q = (slab[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
@@ -107,8 +118,8 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, j].astype(jnp.float32)
-        if col is not None:
-            s = jnp.where(col < kv_len, s, NEG_INF)
+        if mask_row is not None:
+            s = s + mask_row
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -315,11 +326,16 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_
     s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if bias_ref is not None:
         s = s + bias_ref[0].astype(jnp.float32)
-    # padding mask is only relevant in the final key block (static shapes)
+    # padding mask is only relevant in the final key block (static shapes);
+    # build it as a (1, BK) row (near-free on the VPU) and apply with ONE
+    # broadcast add — the full-tile iota+cmp+or+select this replaces cost
+    # ~3 extra VPU passes per k-step, a measurable slice of the large-N
+    # regime where the kernel is VPU-bound (see module docstring)
     if kv_len % block_k != 0:
         boundary_block = kv_len // block_k
-        col = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(jnp.logical_or(ki != boundary_block, col < kv_len % block_k), s, NEG_INF)
+        col = lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        keep = jnp.logical_or(ki != boundary_block, col < kv_len % block_k)
+        s = s + jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))

@@ -19,7 +19,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 
 from ._common import NEG_INF, round_up as _round_up, tpu_kernels_available
@@ -38,12 +37,13 @@ def _kernel(q_ref, k_ref, v_ref, cpb_ref, mask_ref, o_ref, *, kv_len):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    # padded key columns are masked by the CPB bias itself: the wrapper pads
+    # the bias's key axis with NEG_INF at trace time, so no iota/select VPU
+    # passes run in the kernel (kv_len kept for the interpret-mode assert)
+    del kv_len
     s = s + cpb_ref[0].astype(jnp.float32)
     if mask_ref is not None:
         s = s + mask_ref[0].astype(jnp.float32)
-    if kv_len != a_pad:
-        col = lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
@@ -70,7 +70,11 @@ def window_flash_attention(q, k, v, cpb_bias, mask=None, interpret: bool = False
         return jnp.pad(x, ((0, 0), (0, a_pad - a), (0, 0)))
 
     qp, kp, vp = to_p(q), to_p(k), to_p(v)
-    cpb = jnp.pad(cpb_bias, ((0, 0), (0, a_pad - a), (0, a_pad - a)))
+    # pad the bias's query rows with zeros (dead rows, sliced away) but its
+    # KEY columns with NEG_INF — this doubles as the pad mask, so the kernel
+    # needs no masking passes at all
+    cpb = jnp.pad(cpb_bias, ((0, 0), (0, a_pad - a), (0, 0)))
+    cpb = jnp.pad(cpb, ((0, 0), (0, 0), (0, a_pad - a)), constant_values=NEG_INF)
 
     in_specs = [
         pl.BlockSpec((1, a_pad, d), lambda p: (p, 0, 0)),

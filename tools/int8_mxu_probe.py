@@ -1,0 +1,101 @@
+"""Does the v5e MXU really run int8 matmuls at 2x the bf16 rate — and does
+that survive the D=64 attention contraction?
+
+Motivation: at 1904^2 the online flash kernel sits near its MXU floor, and
+that floor is itself ~2x off peak because attention's QK^T contracts over
+D=64 (half the 128-deep MXU) and PV writes a 64-wide output group. The v5e
+datasheet rate is 394 TOPS int8 vs 197 TFLOPS bf16 — IF an int8 QK^T hits
+the 2x rate at K=64, an int8-attention serving tier could lift the
+large-resolution ratios. This probe measures the primitive before we invest
+in a kernel.
+
+Method: chain-slope timing (see tools/attn_variants.py) — per-op time is the
+slope between two in-graph scan chain lengths, serialized through
+lax.optimization_barrier so XLA can neither DCE nor overlap iterations.
+Run: python tools/int8_mxu_probe.py   (real TPU, ~2 min)
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def time_matmul(m, k, n, dtype, acc_dtype, c1=8, c2=40, reps=5):
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        lhs = jnp.asarray(rng.integers(-127, 127, (m, k), dtype=np.int8))
+        rhs = jnp.asarray(rng.integers(-127, 127, (k, n), dtype=np.int8))
+    else:
+        lhs = jnp.asarray(rng.standard_normal((m, k)), dtype)
+        rhs = jnp.asarray(rng.standard_normal((k, n)), dtype)
+
+    def build(chain):
+        @jax.jit
+        def many(lhs, rhs):
+            def body(carry, _):
+                out = lax.dot_general(
+                    carry, rhs, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
+                )
+                nxt, _ = lax.optimization_barrier((carry, out[0, 0]))
+                return nxt, None
+
+            out, _ = lax.scan(body, lhs, None, length=chain)
+            return out
+
+        return many
+
+    f1, f2 = build(c1), build(c2)
+    np.asarray(f1(lhs, rhs).ravel()[0])
+    np.asarray(f2(lhs, rhs).ravel()[0])
+
+    def run(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(lhs, rhs).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_op = (run(f2) - run(f1)) / (c2 - c1)
+    macs = m * k * n
+    return per_op, macs / per_op / 1e12
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    cases = [
+        # attention QK^T shape class: contraction 64
+        ("QK^T  bf16 K=64 ", 8192, 64, 8192, jnp.bfloat16, jnp.float32),
+        ("QK^T  int8 K=64 ", 8192, 64, 8192, jnp.int8, jnp.int32),
+        # PV shape class: deep contraction, 64-wide output
+        ("PV    bf16 out64", 8192, 8192, 64, jnp.bfloat16, jnp.float32),
+        ("PV    int8 out64", 8192, 8192, 64, jnp.int8, jnp.int32),
+        # control: square, full-depth — the MXU peak for each dtype
+        ("ctrl  bf16 K=512", 4096, 512, 4096, jnp.bfloat16, jnp.float32),
+        ("ctrl  int8 K=512", 4096, 512, 4096, jnp.int8, jnp.int32),
+        ("ctrl  int8 K=256", 4096, 256, 4096, jnp.int8, jnp.int32),
+    ]
+    results = {}
+    for label, m, k, n, dt, acc in cases:
+        try:
+            per_op, tmacs = time_matmul(m, k, n, dt, acc)
+            results[label] = (per_op, tmacs)
+            print(f"{label}: {per_op*1e6:9.1f} us  {tmacs:7.2f} TMAC/s")
+        except Exception as e:  # int8 dot may not lower on all backends
+            print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
+
+    qk_bf, qk_i8 = results.get("QK^T  bf16 K=64 "), results.get("QK^T  int8 K=64 ")
+    if qk_bf and qk_i8:
+        r = qk_bf[0] / qk_i8[0]
+        print(f"\nint8 QK^T speedup at K=64: {r:.2f}x "
+              f"({'worth a kernel' if r > 1.5 else 'NOT worth a kernel'})")
+    pv_bf, pv_i8 = results.get("PV    bf16 out64"), results.get("PV    int8 out64")
+    if pv_bf and pv_i8:
+        print(f"int8 PV   speedup at out=64: {pv_bf[0] / pv_i8[0]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
