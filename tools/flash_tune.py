@@ -45,7 +45,9 @@ def timeit_chain(fn, x, reps=4, k1=3, k2=9):
 
 
 def main():
-    ns = [int(a) for a in sys.argv[1:]] or [5477, 10405, 18497]
+    args = sys.argv[1:]
+    with_int8 = "--int8" in args
+    ns = [int(a) for a in args if a != "--int8"] or [5477, 10405, 18497]
     h, d = 16, 64  # ViT-L heads; BH=16 per batch-1 frame
     rng = np.random.default_rng(0)
     for n in ns:
@@ -75,6 +77,23 @@ def main():
                 print(f"  online bq={str(bq):<5} bk={str(bk):<5}      {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
                 print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
+        if with_int8:
+            # experimental int8-QK^T online kernel (includes its XLA-side
+            # per-row quantization cost — the honest e2e comparison)
+            from experiments.flash_attention_int8 import flash_attention_int8_qk
+
+            def make_i8_fn(bq, bk):
+                def fn(x):
+                    o = flash_attention_int8_qk(x, x, x, block_q=bq, block_k=bk)
+                    return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
+                return fn
+
+            for bq, bk in ((1024, 1024), (2048, 1024), (4096, 1024)):
+                try:
+                    t = timeit_chain(make_i8_fn(bq, bk), q)
+                    print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     failed: {type(e).__name__}")
         # one-pass cutover probe: the kernel is VMEM-feasible a bit past the
         # serving cutoff (n_pad <= ~4096 at D=64); if it beats the online
         # kernel at 756-px token counts (N=2917), raise ONE_PASS_MAX_KV
