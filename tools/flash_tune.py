@@ -94,16 +94,19 @@ def main():
                     print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     {t*1e3:8.2f} ms")
                 except Exception as e:  # noqa: BLE001
                     print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     failed: {type(e).__name__}")
-        # one-pass cutover probe: the kernel is VMEM-feasible a bit past the
-        # serving cutoff (n_pad <= ~4096 at D=64); if it beats the online
-        # kernel at 756-px token counts (N=2917), raise ONE_PASS_MAX_KV
+        # one-pass cutover probe: the whole-K kernel is VMEM-feasible far past
+        # the 2048 serving cutoff once block_q shrinks (the f32 logit tile is
+        # block_q x N_pad; k/v blocks stay cached across q-programs). The
+        # round-3d mask-row optimization removed most of its per-call VPU
+        # penalty, so probe it at EVERY N — if it keeps beating the online
+        # kernel, the serving cutover moves.
+        for bq in (None, 256, 512, 1024):
+            try:
+                t = timeit_chain(make_fn(bq, None, one_pass=True), q)
+                print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
+            except Exception as e:  # noqa: BLE001
+                print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
         if n <= 4100:
-            for bq in (None, 512, 1024):
-                try:
-                    t = timeit_chain(make_fn(bq, None, one_pass=True), q)
-                    print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
-                except Exception as e:  # noqa: BLE001
-                    print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
             # fused-qkv one-pass (the actual DA serving path): reads the
             # head-major qkv projection output directly, hpp heads/program
             from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
