@@ -56,10 +56,13 @@ def _online_kernel_i8(q_ref, k_ref, v_ref, a_ref, o_ref, m_ref, acc_ref, *, kv_l
     q = q_ref[0]  # (BQ, D) int8
     k = k_ref[0]  # (BK, D) int8
     v = v_ref[0]  # (BK, D) bf16/f32
-    alpha = a_ref[0]  # (BQ, 128) f32, col 0 = sq_row * sk * scale * log2(e)
+    # alpha rides as a (1, BQ) row (compact in HBM — a lane-padded (BQ, 128)
+    # column would stream 128x the bytes); the row->column relayout is a
+    # one-tile op on BQ elements, negligible next to the (BQ, BK) passes
+    alpha = a_ref[0].reshape(-1, 1)  # (BQ, 1) f32 = sq_row * sk * scale * log2(e)
 
     s_i32 = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    s = s_i32.astype(jnp.float32) * alpha[:, :1]
+    s = s_i32.astype(jnp.float32) * alpha
 
     if kv_len % block_k != 0:
         boundary_block = kv_len // block_k
@@ -111,8 +114,7 @@ def flash_attention_int8_qk(q, k, v, scale=None, block_q=1024, block_k=1024, int
     q_i8 = jnp.pad(q_i8, ((0, 0), (0, n_pad_q - n), (0, 0)))
     k_i8 = jnp.pad(k_i8, ((0, 0), (0, n_pad_k - n), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
-    # alpha rides as a (BH, N_pad_q, 128) lane-padded column (col 0 live)
-    ap = jnp.pad(alpha[:, :, None], ((0, 0), (0, n_pad_q - n), (0, 127)))
+    ap = jnp.pad(alpha, ((0, 0), (0, n_pad_q - n)))  # (BH, N_pad_q)
 
     acc_cols = _round_up(d + 1, 128)
     grid = (bh, n_pad_q // block_q, n_pad_k // block_k)
@@ -120,7 +122,7 @@ def flash_attention_int8_qk(q, k, v, scale=None, block_q=1024, block_k=1024, int
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
     ]
     kernel = functools.partial(_online_kernel_i8, kv_len=n, block_k=block_k, d=d)
 
