@@ -84,11 +84,25 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, exp2_domain=False, bi
         s = s + jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    d = v.shape[1]
+    if d % 128 != 0:
+        # fused l: the PV output group pads d up to 128 lanes anyway, so a
+        # ones column rides along and the row-sum accumulates inside the
+        # matmul — drops the full-tile jnp.sum VPU pass (padded kv rows
+        # contribute nothing: their p is already 0). Same trick as the
+        # online kernel; see _online_kernel docstring.
+        ext = _round_up(d + 1, 128)
+        v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], ext - d), v.dtype)], axis=1)
+        of = lax.dot_general(
+            p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (of[:, :d] / jnp.maximum(of[:, d : d + 1], 1e-30)).astype(o_ref.dtype)
+    else:
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None):
@@ -122,11 +136,21 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
             s = s + mask_row
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, j * d : (j + 1) * d] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if d % 128 != 0:
+            # fused l in the PV matmul's padded output lanes (see
+            # _onepass_kernel) — one fewer full-tile VPU pass per head
+            ext = 128 * ((d + 1 + 127) // 128)
+            v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], ext - d), v.dtype)], axis=1)
+            of = lax.dot_general(
+                p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            o = of[:, :d] / jnp.maximum(of[:, d : d + 1], 1e-30)
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) / jnp.maximum(l, 1e-30)
+        o_ref[0, :, j * d : (j + 1) * d] = o.astype(o_ref.dtype)
 
 
 def _heads_per_program(num_heads: int, d: int) -> int | None:
