@@ -126,8 +126,11 @@ def flash_attention_int8_qk(q, k, v, scale=None, block_q=1024, block_k=1024, int
     ]
     kernel = functools.partial(_online_kernel_i8, kv_len=n, block_k=block_k, d=d)
 
-    if pltpu is None and not interpret:
-        raise RuntimeError("int8 online kernel needs pallas-TPU scratch")
+    if pltpu is None:
+        # pltpu.VMEM below is needed even for interpret mode — match the
+        # production kernels' unconditional raise rather than implying an
+        # interpret path that would NameError three lines later.
+        raise RuntimeError("int8 online kernel needs pallas-TPU (pltpu unavailable)")
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, acc_cols), jnp.float32),

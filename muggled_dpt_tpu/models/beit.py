@@ -96,8 +96,9 @@ def compute_bias_stack(relpos_lut, base_grid_hw, grid_hw, pad_to: int | None = N
     pad_to: when set, zero-pads the last two dims to this size. The cached
     stack is built pre-padded to the flash kernel's 128-lane tile size so the
     per-block jnp.pad copy (~95 us x 24 layers of HBM traffic per forward at
-    L-512) disappears from the serving path; the kernel's key-column iota
-    mask makes the padded columns -inf regardless of their values."""
+    L-512) disappears from the serving path. The kernel ADDS a -1e30 iota
+    row-mask to the padded key columns (it does not overwrite them), so the
+    zero padding here is load-bearing: pads must stay zero/finite."""
     num_layers, _, heads = relpos_lut.shape
     bh, bw = base_grid_hw
     gh, gw = grid_hw

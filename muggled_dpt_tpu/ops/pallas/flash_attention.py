@@ -139,7 +139,7 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
         if d % 128 != 0:
             # fused l in the PV matmul's padded output lanes (see
             # _onepass_kernel) — one fewer full-tile VPU pass per head
-            ext = 128 * ((d + 1 + 127) // 128)
+            ext = _round_up(d + 1, 128)
             v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], ext - d), v.dtype)], axis=1)
             of = lax.dot_general(
                 p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -391,8 +391,13 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_
 def _fit_bias(bias, rows, cols, n_rows=None, n_cols=None):
     """Shape a bias's trailing two dims to exactly (rows, cols) — a no-op when
     it already matches (the pre-padded cached-stack fast path), a slice when
-    it is larger, a zero-pad when smaller. Padded key columns are masked to
-    -inf by the kernels, so pad values are irrelevant.
+    it is larger, a zero-pad when smaller.
+
+    Padding contract: the kernels mask padded key columns by ADDING a -1e30
+    row mask to the biased logits (not by overwriting them), so pad values in
+    a caller-pre-padded bias must be ZERO — the convention this function and
+    models/beit.compute_bias_stack both produce. A +1e30/NaN pad would cancel
+    or poison the mask; finite small pads merely waste a few exp() lanes.
 
     Size-1 trailing dims are first broadcast over the LOGICAL sequence
     lengths (n_rows / n_cols) — the broadcastable-bias contract of
@@ -586,7 +591,7 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     qb, kb, vb = to_bhnd(qs), to_bhnd(k), to_bhnd(v)
     bias_b = None
     if bias is not None:
-        bn = bias.shape[-2], bias.shape[-1]  # may be pre-padded past n
+        bn = bias.shape[-2], bias.shape[-1]  # may be pre-padded past n (pads must be zero — see _fit_bias)
         bias_b = jnp.broadcast_to(bias, (b, h, *bn)).reshape(b * h, *bn)
     out = _flash_bhnd_prescaled(qb, kb, vb, bias_b, interpret=interpret)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -39,7 +39,8 @@ def _kernel(q_ref, k_ref, v_ref, cpb_ref, mask_ref, o_ref, *, kv_len):
     )
     # padded key columns are masked by the CPB bias itself: the wrapper pads
     # the bias's key axis with NEG_INF at trace time, so no iota/select VPU
-    # passes run in the kernel (kv_len kept for the interpret-mode assert)
+    # passes run in the kernel; kv_len is unused here but kept in the
+    # signature so the wrapper's partial() documents the logical key length
     del kv_len
     s = s + cpb_ref[0].astype(jnp.float32)
     if mask_ref is not None:

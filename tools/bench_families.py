@@ -9,7 +9,6 @@ Run: python tools/bench_families.py [beit|swinv2 ...]   (~6 min both)
 """
 
 import sys
-import time
 
 import numpy as np
 import jax
@@ -19,12 +18,10 @@ sys.path.insert(0, "/root/repo")
 
 
 def chip_ms(run_one, probe, iters=200):
-    results = [run_one() for _ in range(iters)]
-    np.asarray(probe(results[-1]))
-    t0 = time.perf_counter()
-    results = [run_one() for _ in range(iters)]
-    np.asarray(probe(results[-1]))
-    return (time.perf_counter() - t0) / iters * 1e3
+    # single source of truth for the dispatch/probe discipline: bench.chip_fps
+    from bench import chip_fps
+
+    return 1e3 / chip_fps(run_one, probe, iters=iters)
 
 
 def main():
