@@ -20,9 +20,12 @@ def create_video_capture(video_source: str | int) -> cv2.VideoCapture:
     cap = cv2.VideoCapture(video_source)
     if not cap.isOpened():
         raise IOError(f"Could not open video source: {video_source}")
-    # disable auto-rotation metadata surprises where supported
+    # Opt in to rotation metadata so phone-shot portrait videos decode upright
+    # (OpenCV ignores the orientation tag unless asked; reference
+    # video.py:220-225 / opencv/opencv#26795). Not supported by every
+    # backend (e.g. some webcam drivers), hence the guard.
     try:
-        cap.set(cv2.CAP_PROP_ORIENTATION_AUTO, 0)
+        cap.set(cv2.CAP_PROP_ORIENTATION_AUTO, 1)
     except cv2.error:
         pass
     return cap

@@ -32,6 +32,7 @@ from muggled_dpt_tpu.demo_helpers.history_keeper import HistoryKeeper
 from muggled_dpt_tpu.demo_helpers.loading import ask_for_model_path, ask_for_path
 from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthreading, maybe_quantize_int8
 from muggled_dpt_tpu.demo_helpers.postprocess import normalize_01, remove_infinities
+from muggled_dpt_tpu.demo_helpers.video import create_video_capture
 
 VIEWER_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "muggled_dpt_tpu", "demo_helpers", "viewer3d")
 STATIC_WHITELIST = {
@@ -62,8 +63,7 @@ class InputSource:
             self.frame_count, self.fps = 1, 0.0
         else:
             src = int(self.path) if self.is_webcam else self.path
-            self._cap = cv2.VideoCapture(src)
-            assert self._cap.isOpened(), f"Could not open: {self.path}"
+            self._cap = create_video_capture(src)
             self._image = None
             self.frame_count = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)) if not self.is_webcam else -1
             self.fps = self._cap.get(cv2.CAP_PROP_FPS) or 30.0

@@ -30,6 +30,7 @@ from muggled_dpt_tpu.demo_helpers.misc import make_device_config, reduce_overthr
 from muggled_dpt_tpu.demo_helpers.postprocess import normalize_01, remove_infinities
 from muggled_dpt_tpu.demo_helpers.saving import get_save_folder
 from muggled_dpt_tpu.demo_helpers.ui import ColormapsBar
+from muggled_dpt_tpu.demo_helpers.video import create_video_capture
 
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v")
 
@@ -90,8 +91,7 @@ def load_gt(folder: str, name: str, hw: tuple[int, int]) -> np.ndarray | None:
 def iter_frames(input_path: str):
     """Yield (name, bgr_frame) for a video file, image folder, or image."""
     if str(input_path).lower().endswith(VIDEO_EXTS):
-        cap = cv2.VideoCapture(input_path)
-        assert cap.isOpened(), f"Could not open video: {input_path}"
+        cap = create_video_capture(input_path)
         idx = 0
         try:
             while True:

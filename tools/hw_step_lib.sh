@@ -1,0 +1,44 @@
+# Shared harness for the hardware measurement queue scripts
+# (run_hw_session.sh / run_hw_backlog.sh / run_hw_round3d.sh).
+#
+# The TPU is exclusive-access behind a flaky relayed tunnel (CLAUDE.md): a
+# step killed by its budget (rc=124/137) very likely wedged the backend, and
+# running the remaining steps immediately would burn their full budgets
+# against a dead tunnel. After a timeout we probe with a short bounded check
+# and only continue once it answers; wedges clear in ~30 min, so the default
+# is 10 probes with 120 s gaps (~35 min). Override with WAIT_RETRIES.
+#
+# Usage:  OUT=/tmp/wherever ; mkdir -p "$OUT" ; source tools/hw_step_lib.sh
+#         step <name> <budget_s> <command...>
+set -u
+WAIT_RETRIES=${WAIT_RETRIES:-10}
+
+probe_backend() {
+  timeout 90 python -c "import jax, numpy as np, jax.numpy as jnp; x=jnp.ones((4,)); assert float(np.asarray(x.sum()))==4.0" >/dev/null 2>&1
+}
+
+wait_for_backend() {
+  for _ in $(seq 1 "$WAIT_RETRIES"); do
+    probe_backend && return 0
+    echo "    backend unreachable; cooling down 120s $(date)" | tee -a "$OUT/summary.log"
+    sleep 120
+  done
+  return 1
+}
+
+step() {
+  local name=$1 budget=$2; shift 2
+  echo "=== $name (budget ${budget}s) $(date)" | tee -a "$OUT/summary.log"
+  timeout --kill-after=30 "$budget" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "    rc=$rc $(date)" | tee -a "$OUT/summary.log"
+  tail -3 "$OUT/$name.log" | sed 's/^/    /'
+  if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
+    echo "    step timed out — probing backend before continuing" | tee -a "$OUT/summary.log"
+    if ! wait_for_backend; then
+      echo "=== ABORT: backend still unreachable after cooldown $(date)" | tee -a "$OUT/summary.log"
+      exit 1
+    fi
+    echo "    backend recovered $(date)" | tee -a "$OUT/summary.log"
+  fi
+}

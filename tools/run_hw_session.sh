@@ -1,42 +1,14 @@
 #!/bin/bash
-# Session hardware queue (tunnel back up after the round-3b/3c/3d outage).
-# Priority-ordered for a ~1h window: headline + sanity gates first, then the
-# measurements that quantify the round-3d kernel work, then int8 tiers.
-# Same bounded-step / probe-on-timeout discipline as run_hw_backlog.sh.
-set -u
+# Session hardware queue (round-3 backlog, re-runnable at HEAD).
+# Priority-ordered: headline + sanity gates first, then the measurements that
+# quantify the round-3d kernel work, then int8 tiers. Worst case the full
+# queue is ~4.5h of step budgets (nominal ~2h); the headline gates are
+# front-loaded so short tunnel windows still capture bench + families +
+# sanity. Bounded-step / probe-on-timeout discipline from hw_step_lib.sh.
 OUT=${1:-/tmp/hw_session}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-
-probe_backend() {
-  timeout 90 python -c "import jax, numpy as np, jax.numpy as jnp; x=jnp.ones((4,)); assert float(np.asarray(x.sum()))==4.0" >/dev/null 2>&1
-}
-
-wait_for_backend() {
-  for _ in $(seq 1 5); do
-    probe_backend && return 0
-    echo "    backend unreachable; cooling down 120s $(date)" | tee -a "$OUT/summary.log"
-    sleep 120
-  done
-  return 1
-}
-
-step() {
-  local name=$1 budget=$2; shift 2
-  echo "=== $name (budget ${budget}s) $(date)" | tee -a "$OUT/summary.log"
-  timeout --kill-after=30 "$budget" "$@" > "$OUT/$name.log" 2>&1
-  local rc=$?
-  echo "    rc=$rc $(date)" | tee -a "$OUT/summary.log"
-  tail -3 "$OUT/$name.log" | sed 's/^/    /'
-  if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
-    echo "    step timed out — probing backend before continuing" | tee -a "$OUT/summary.log"
-    if ! wait_for_backend; then
-      echo "=== ABORT: backend still unreachable after cooldown $(date)" | tee -a "$OUT/summary.log"
-      exit 1
-    fi
-    echo "    backend recovered $(date)" | tee -a "$OUT/summary.log"
-  fi
-}
+source tools/hw_step_lib.sh
 
 step bench          1500 python bench.py
 step families       1200 python tools/bench_families.py
