@@ -103,33 +103,45 @@ class DPTModel:
         if self._make_aux is None or not self.config.get("enable_cache", True):
             return None
         grid_hw = tuple(int(g) for g in grid_hw)
-        if grid_hw not in self._aux_cache:
-            # HBM-budget check: mirror the reference's OOM->disable-cache
-            # fallback (v31_beit/image_encoder_model.py:101-117) but predictive,
-            # using the exact bias-size math (relative_positional_encoder.py:313-332).
-            # The budget counts what is already resident (params + previously
-            # cached grids) so a session cycling many grids can't creep past it.
-            estimate = self.spec.get("aux_bytes_estimate")
-            if estimate is not None and not _fits_hbm_budget(
-                estimate(self.config, grid_hw),
-                resident_bytes=_tree_bytes(self.params) + _tree_bytes(self._aux_cache),
+        if grid_hw in self._aux_cache:
+            # LRU recency bump (dict preserves insertion order; oldest first)
+            self._aux_cache[grid_hw] = self._aux_cache.pop(grid_hw)
+            return self._aux_cache[grid_hw]
+        # HBM-budget check: mirror the reference's OOM->disable-cache
+        # fallback (v31_beit/image_encoder_model.py:101-117) but predictive,
+        # using the exact bias-size math (relative_positional_encoder.py:313-332).
+        # The budget counts what is already resident (params + previously
+        # cached grids); when the new grid doesn't fit we evict
+        # least-recently-used grids to make room (the reference's cache is
+        # grow-only, so a long session cycling sizes would end up refusing to
+        # cache the size it is actually serving).
+        estimate = self.spec.get("aux_bytes_estimate")
+        if estimate is not None:
+            needed = estimate(self.config, grid_hw)
+            while not _fits_hbm_budget(
+                needed, resident_bytes=_tree_bytes(self.params) + _tree_bytes(self._aux_cache)
             ):
-                print(
-                    "*** WARNING ***\n"
-                    "Not enough device memory for relpos caching! Caching disabled for this grid..."
-                )
-                # negative-cache the decision: without this, every frame at
-                # this grid re-runs the estimate and re-prints the banner
-                self._aux_cache[grid_hw] = None
-                return None
-            aux = self._aux_jit(self.params, grid_hw)
-            # store in the compute dtype (e.g. bf16): halves cache HBM cost
-            # and bandwidth; logits still accumulate in f32
-            aux = jax.tree_util.tree_map(
-                lambda a: a.astype(self._dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, aux
-            )
-            self._aux_cache[grid_hw] = aux
-        return self._aux_cache[grid_hw]
+                lru = next((k for k, v in self._aux_cache.items() if v is not None), None)
+                if lru is None:
+                    # nothing left to evict: this grid doesn't fit beside the
+                    # params alone. Negative-cache the decision (stable, since
+                    # params are constant): without it, every frame at this
+                    # grid re-runs the estimate and re-prints the banner.
+                    print(
+                        "*** WARNING ***\n"
+                        "Not enough device memory for relpos caching! Caching disabled for this grid..."
+                    )
+                    self._aux_cache[grid_hw] = None
+                    return None
+                del self._aux_cache[lru]
+        aux = self._aux_jit(self.params, grid_hw)
+        # store in the compute dtype (e.g. bf16): halves cache HBM cost
+        # and bandwidth; logits still accumulate in f32
+        aux = jax.tree_util.tree_map(
+            lambda a: a.astype(self._dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, aux
+        )
+        self._aux_cache[grid_hw] = aux
+        return aux
 
     def clear_cache(self):
         """Drop cached per-grid aux tensors (reference clear_relpos_cache)."""

@@ -224,3 +224,43 @@ def test_int8_calibration_refuses_empty_stats(monkeypatch):
     frames = [rng.integers(0, 256, (60, 80, 3), np.uint8)]
     with pytest.raises(RuntimeError, match="no activation stats"):
         m.quantize_encoder_int8(include_qkv=True, calibration_images=frames)
+
+
+def test_aux_cache_lru_eviction(monkeypatch):
+    """When a new grid doesn't fit the HBM budget, the cache evicts the
+    least-recently-used grid instead of refusing to cache the new one — a
+    session cycling sizes keeps its hot grid fast and the resident estimate
+    stays bounded. (The reference cache is grow-only,
+    v31_beit/image_encoder_model.py:95-119; the TPU build does better.)"""
+    import jax.numpy as jnp
+
+    from muggled_dpt_tpu import dpt as dpt_mod
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    assert m.spec.get("aux_bytes_estimate") is not None
+
+    def _positives():
+        return [k for k, v in m._aux_cache.items() if v is not None]
+
+    # budget: at most two positive grids resident at check time
+    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: len(_positives()) < 2)
+
+    a, b, c = (8, 8), (9, 9), (10, 10)
+    aux_a = m._get_aux(a)
+    assert aux_a is not None
+    assert m._get_aux(b) is not None
+    assert _positives() == [a, b]
+    # recency bump: touching A makes B the LRU
+    assert m._get_aux(a) is aux_a
+    # third grid: B (least recently used) is evicted, A stays hot
+    assert m._get_aux(c) is not None
+    assert _positives() == [a, c]
+    assert len(m._aux_cache) == 2  # bounded, no stale entries
+
+    # nothing-to-evict case: with an always-failing budget the whole cache is
+    # drained and the grid is negative-cached (stable: params are constant)
+    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: False)
+    assert m._get_aux((11, 11)) is None
+    assert _positives() == []
+    assert m._aux_cache[(11, 11)] is None

@@ -13,13 +13,13 @@ import pytest
 
 from conftest import reference_available
 
-pytestmark = [
-    pytest.mark.skipif(
-        os.environ.get("RUN_FULLSCALE", "") != "1",
-        reason="production-scale parity is opt-in (RUN_FULLSCALE=1 or tools/parity_fullscale.py)",
-    ),
-    pytest.mark.skipif(not reference_available(), reason="/root/reference not mounted"),
-]
+_needs_reference = pytest.mark.skipif(not reference_available(), reason="/root/reference not mounted")
+_full_matrix = pytest.mark.skipif(
+    os.environ.get("RUN_FULLSCALE", "") != "1",
+    reason="production-scale parity matrix is opt-in (RUN_FULLSCALE=1 or tools/parity_fullscale.py)",
+)
+
+pytestmark = [_needs_reference]
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +37,15 @@ def image_bgr():
     return make_test_image()
 
 
+def test_fullscale_parity_thin_gate(fullscale, image_bgr, tmp_path):
+    """Default-on production-scale gate: one DA-V2 vit-s square@518 case
+    (~60 s) so a parity regression at real config scale can't hide between
+    manual RUN_FULLSCALE runs. The full sizing/family matrix stays opt-in."""
+    for name, err, ok in fullscale.run_family("da-v2", str(tmp_path), image_bgr, runs=[(True, 518)]):
+        assert ok, f"{name}: abs-rel {err:.2e} over budget {fullscale.ABS_REL_BUDGET}"
+
+
+@_full_matrix
 @pytest.mark.parametrize("family", ["da-v2", "da-v1", "da-v2-metric", "beit", "swinv2"])
 def test_fullscale_parity(family, fullscale, image_bgr, tmp_path):
     for name, err, ok in fullscale.run_family(family, str(tmp_path), image_bgr):

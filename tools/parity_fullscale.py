@@ -208,8 +208,12 @@ def abs_rel(ours: np.ndarray, ref: np.ndarray) -> float:
     return float(np.abs(ours - ref).mean() / scale)
 
 
-def run_family(family: str, tmp_dir: str, image_bgr: np.ndarray):
-    """Returns a list of (case_name, abs_rel, ok) tuples."""
+def run_family(family: str, tmp_dir: str, image_bgr: np.ndarray, runs=None):
+    """Returns a list of (case_name, abs_rel, ok) tuples.
+
+    runs: optional [(use_square, size), ...] subset override — used by the
+    default-on thin CI gate (tests/test_parity_fullscale.py) to run a single
+    ~60 s case instead of the family's full sizing matrix."""
     import torch
 
     sys.path.insert(0, "/root/reference")
@@ -228,7 +232,8 @@ def run_family(family: str, tmp_dir: str, image_bgr: np.ndarray):
     assert bool(ref_cfg.get("is_metric", False)) == bool(cfg.get("is_metric", False))
 
     side = case["default_size"]
-    runs = [(True, side), (False, side)] + list(case.get("extra_sizes", []))
+    if runs is None:
+        runs = [(True, side), (False, side)] + list(case.get("extra_sizes", []))
     results = []
     for square, sz in runs:
         label = f"{'square' if square else 'AR'}@{sz}"
