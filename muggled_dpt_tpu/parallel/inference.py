@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import make_mesh, shard_params
+from .mesh import make_mesh, place_aux, shard_params
 
 
 class BatchParallelRunner:
@@ -52,23 +52,13 @@ class BatchParallelRunner:
         return self.mesh.shape["data"]
 
     def _get_aux(self, grid_hw):
-        """Fetch the host model's per-grid aux and place it on the mesh:
-        head axes (axis 1 of the (L|P, H, N, N) bias stacks) shard over
-        `model` when tensor-parallel, everything replicated over `data`."""
+        """Fetch the host model's per-grid aux and place it on the mesh
+        (mesh.place_aux: head axes sharded over `model` when tensor-parallel,
+        everything replicated over `data`)."""
         grid_hw = tuple(int(g) for g in grid_hw)
         if grid_hw in self._aux_placed:
             return self._aux_placed[grid_hw]
-        aux = self.model._get_aux(grid_hw)
-        if aux is not None:
-            tp = self.mesh.shape.get("model", 1)
-
-            def place(a):
-                spec = P()
-                if self._tp and a.ndim == 4 and a.shape[1] % tp == 0:
-                    spec = P(None, "model", None, None)
-                return jax.device_put(a, NamedSharding(self.mesh, spec))
-
-            aux = jax.tree_util.tree_map(place, aux)
+        aux = place_aux(self.model._get_aux(grid_hw), self.mesh, tp_shard=self._tp)
         self._aux_placed[grid_hw] = aux
         return aux
 

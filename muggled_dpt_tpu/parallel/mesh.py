@@ -72,6 +72,25 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def place_aux(aux, mesh: Mesh, tp_shard: bool = True):
+    """Place a per-grid aux pytree (BEiT relpos bias stack, SwinV2 CPB stacks)
+    on the mesh: head axes (axis 1 of the (L|P, H, N, N) stacks) shard over
+    `model` when tensor-parallel, aligned with the Megatron head-major qkv
+    column split so the cache's HBM cost divides across the TP group;
+    everything else is replicated."""
+    if aux is None:
+        return None
+    tp = mesh.shape.get("model", 1)
+
+    def place(a):
+        spec = P()
+        if tp_shard and tp > 1 and a.ndim == 4 and a.shape[1] % tp == 0:
+            spec = P(None, "model", None, None)
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, aux)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard the leading (batch) axis over the data axis."""
     return jax.tree_util.tree_map(

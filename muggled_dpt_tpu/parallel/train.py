@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .mesh import make_mesh, shard_batch, shard_params
+from .mesh import make_mesh, place_aux, shard_batch, shard_params
 
 
 def ssi_loss(pred_bhw, target_bhw, mask_bhw=None, eps=1e-6):
@@ -30,14 +30,22 @@ def ssi_loss(pred_bhw, target_bhw, mask_bhw=None, eps=1e-6):
 
 
 def make_train_step(forward_fn, optimizer):
-    """Build a jittable (params, opt_state, images, targets) -> ... step."""
+    """Build a jittable (params, opt_state, images, targets[, aux]) -> step.
 
-    def loss_fn(params, images_nhwc, targets_bhw):
-        pred = forward_fn(params, images_nhwc)
+    forward_fn: (params, images_nhwc, aux) -> pred_bhw. `aux` threads the
+    facade's grid-keyed cache (BEiT relpos bias stack, SwinV2 CPB tables)
+    into the differentiated forward: without it, every sharded fine-tune
+    step regenerates the bias tables in-graph (the enable_cache=False cost,
+    ~2x encoder work at BEiT-L grids). Aux is non-differentiated data, not
+    a trained parameter — it is passed outside the grad closure. Place it
+    with mesh.place_aux for tensor-parallel runs."""
+
+    def loss_fn(params, images_nhwc, targets_bhw, aux):
+        pred = forward_fn(params, images_nhwc, aux)
         return ssi_loss(pred, targets_bhw)
 
-    def train_step(params, opt_state, images_nhwc, targets_bhw):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images_nhwc, targets_bhw)
+    def train_step(params, opt_state, images_nhwc, targets_bhw, aux=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images_nhwc, targets_bhw, aux)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -64,8 +72,13 @@ def sharded_train_demo(model, mesh=None, batch: int = 2, image_hw=(56, 56), lr: 
     targets = rng.uniform(0.1, 1.0, (batch, image_hw[0], image_hw[1])).astype(np.float32)
     images, targets = shard_batch((images, targets), mesh)
 
-    step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optimizer))
+    # grid-cached aux (BEiT relpos bias / SwinV2 CPB) rides along sharded —
+    # None for families without one (DINOv2)
+    p = model.patch_size_px
+    aux = place_aux(model._get_aux((image_hw[0] // p, image_hw[1] // p)), mesh)
+
+    step = jax.jit(make_train_step(lambda p, x, aux: fwd(p, x, aux), optimizer))
     with mesh:
-        params, opt_state, loss = step(params, opt_state, images, targets)
+        params, opt_state, loss = step(params, opt_state, images, targets, aux)
         loss = float(loss)
     return loss

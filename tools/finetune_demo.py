@@ -106,7 +106,7 @@ def main():
             print(f"nothing to do: checkpoint step {start} >= --steps {args.steps}")
             return 0
 
-    step = jax.jit(make_train_step(lambda p, x: fwd(p, x), optimizer))
+    step = jax.jit(make_train_step(lambda p, x, aux: fwd(p, x, aux), optimizer))
     losses = []
     with mesh:
         for i in range(start, args.steps):
