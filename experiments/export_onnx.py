@@ -10,9 +10,14 @@ emitted graph with the in-repo numpy evaluator against the live JAX model
 (the reference displays ONNX-vs-torch parity the same way,
 export_onnx.py:181-197).
 
-Like the reference's export, the artifact is shape-specialized: export one
-file per input size you serve (reference experiments/README.md:87). Input is
-the normalized (1, 3, H, W) float32 tensor; output is depth (1, H', W').
+By default the artifact is shape-specialized: export one file per input size
+you serve. Input is the normalized (1, 3, H, W) float32 tensor; output is
+depth (1, H', W'). With --dynamic (Depth-Anything families only), the export
+declares dynamic batch/height/width axes like the reference's dynamic_axes
+export (reference experiments/export_onnx.py:117-130) — one artifact serves
+any tiling-aligned size; BEiT/SwinV2 stay fixed-shape because their relpos
+bias / shift-mask tensors are grid-baked (the same restriction the reference
+hits for SwinV2, reference experiments/README.md:87).
 
 Scope: all four families — Depth-Anything (V1/V2/metric/giant), MiDaS-v3.1
 BEiT, and MiDaS-v3.1 SwinV2. The StableHLO path (experiments/export_model.py)
@@ -45,6 +50,10 @@ def main():
     parser.add_argument("-b", "--base_size_px", default=None, type=int)
     parser.add_argument("-o", "--output_folder", default=None)
     parser.add_argument("--skip_check", action="store_true", help="skip the numpy-evaluator parity check")
+    parser.add_argument(
+        "--dynamic", action="store_true",
+        help="export with dynamic batch/height/width axes (Depth-Anything families only)",
+    )
     parser.add_argument("--timing_iters", default=0, type=int, help="time the numpy evaluator (oracle, not a runtime)")
     args = parser.parse_args()
 
@@ -71,11 +80,20 @@ def main():
 
     side = args.base_size_px or model.default_size_px
     h, w = model.compute_scaled_hw((side, side), side, True)
-    print(f"Emitting ONNX at fixed input size {h}x{w} (opset 17)")
-    onnx_bytes = emit(model, (h, w))
+    if args.dynamic:
+        if family != "DinoV2Config":
+            raise SystemExit(
+                f"--dynamic is only supported for the Depth-Anything families "
+                f"(got {family!r}: grid-baked bias/mask tensors require fixed shapes)"
+            )
+        print(f"Emitting ONNX with dynamic batch/height/width axes (opset 17); parity-checked at {h}x{w}")
+        onnx_bytes = emit(model, dynamic=True)
+    else:
+        print(f"Emitting ONNX at fixed input size {h}x{w} (opset 17)")
+        onnx_bytes = emit(model, (h, w))
 
     out_dir = get_save_folder(args.output_folder or osp.join("saved_results", "exports"))
-    out_path = osp.join(out_dir, f"{name}_{h}x{w}.onnx")
+    out_path = osp.join(out_dir, f"{name}_dynamic.onnx" if args.dynamic else f"{name}_{h}x{w}.onnx")
     with open(out_path, "wb") as f:
         f.write(onnx_bytes)
     print(f"Wrote {out_path} ({len(onnx_bytes) / 1e6:.1f} MB)")

@@ -63,12 +63,19 @@ def tensor_to_numpy(t: dict) -> np.ndarray:
 
 
 def value_info(name: str, shape, elem_type: int = DT_FLOAT) -> dict:
+    """Shape entries may be ints (dim_value) or strings (dim_param — the
+    dynamic-axis declaration, mirroring the reference's dynamic_axes export,
+    reference experiments/export_onnx.py:117-130)."""
+    dims = [
+        {"dim_param": d} if isinstance(d, str) else {"dim_value": int(d)}
+        for d in shape
+    ]
     return {
         "name": name,
         "type": {
             "tensor_type": {
                 "elem_type": elem_type,
-                "shape": {"dim": [{"dim_value": int(d)} for d in shape]},
+                "shape": {"dim": dims},
             }
         },
     }

@@ -85,6 +85,17 @@ def _resize(g: GraphBuilder, x: str, out_hw: tuple[int, int], in_chw: tuple[int,
     )
 
 
+def _resize_scale(g: GraphBuilder, x: str, scale: float) -> str:
+    """Scale-driven bilinear align_corners resize for the dynamic-axes graphs:
+    ONNX computes output = floor(in * scale), the same rule as
+    ops/resize.py:resize_output_size (torch's interpolate(scale_factor=s))."""
+    scales = g.init("scales", np.asarray([1.0, 1.0, scale, scale], np.float32))
+    return g.op(
+        "Resize", [x, "", scales], mode="linear",
+        coordinate_transformation_mode="align_corners",
+    )
+
+
 def _slice(g: GraphBuilder, x: str, starts, ends, axes) -> str:
     i64 = lambda hint, v: g.init(hint, np.asarray(v, np.int64))
     return g.op("Slice", [x, i64("starts", starts), i64("ends", ends), i64("axes", axes)])
@@ -97,30 +108,36 @@ def _reshape(g: GraphBuilder, x: str, shape) -> str:
 _I32MAX = 2**31 - 1
 
 
-def _attention(g: GraphBuilder, x: str, bp: dict, n: int, heads: int, c: int, bias: np.ndarray | None = None) -> str:
+def _squeeze(g: GraphBuilder, x: str, axis: int) -> str:
+    return g.op("Squeeze", [x, g.init("sq_axes", np.asarray([axis], np.int64))])
+
+
+def _attention(g: GraphBuilder, x: str, bp: dict, heads: int, c: int, bias: np.ndarray | None = None) -> str:
     """Fused-QKV self-attention with the head-major column layout
     (ops/nn.py:self_attention; checkpoints/convert_common.py:qkv_head_major).
     bias: optional (1, H, N, N) additive logit bias, baked as an initializer
-    (BEiT's relative-position bias, ops/nn.py:sdpa)."""
+    (BEiT's relative-position bias, ops/nn.py:sdpa). Shape-agnostic over batch
+    and token count (0/-1 Reshapes + Squeeze), so the same emitter serves the
+    fixed-shape and dynamic-axes graphs."""
     d = c // heads
     qkv = _linear(g, x, _np(bp["qkv_kernel"]), _np(bp["qkv_bias"]), "qkv")
-    qkv = _reshape(g, qkv, [1, n, heads, 3, d])
-    qkv = g.op("Transpose", [qkv], perm=[3, 0, 2, 1, 4])  # (3, 1, H, N, D)
+    qkv = _reshape(g, qkv, [0, -1, heads, 3, d])
+    qkv = g.op("Transpose", [qkv], perm=[3, 0, 2, 1, 4])  # (3, B, H, N, D)
     parts = []
     for i in range(3):
         p = _slice(g, qkv, [i], [i + 1], [0])
-        parts.append(_reshape(g, p, [1, heads, n, d]))
+        parts.append(_squeeze(g, p, 0))  # (B, H, N, D)
     q, k, v = parts
     scale = g.init("attn_scale", np.float32(d ** -0.5))
     q = g.op("Mul", [q, scale])  # q pre-scaled, as in ops/nn.py:sdpa
-    kt = g.op("Transpose", [k], perm=[0, 1, 3, 2])  # (1, H, D, N)
-    logits = g.op("MatMul", [q, kt])  # (1, H, N, N)
+    kt = g.op("Transpose", [k], perm=[0, 1, 3, 2])  # (B, H, D, N)
+    logits = g.op("MatMul", [q, kt])  # (B, H, N, N)
     if bias is not None:
         logits = g.op("Add", [logits, g.init("attn_bias", np.asarray(bias, np.float32))])
     weights = g.op("Softmax", [logits], axis=-1)
-    out = g.op("MatMul", [weights, v])  # (1, H, N, D)
+    out = g.op("MatMul", [weights, v])  # (B, H, N, D)
     out = g.op("Transpose", [out], perm=[0, 2, 1, 3])
-    out = _reshape(g, out, [1, n, c])
+    out = _reshape(g, out, [0, 0, -1])  # (B, N, C)
     return _linear(g, out, _np(bp["proj_kernel"]), _np(bp["proj_bias"]), "attn_proj")
 
 
@@ -184,20 +201,32 @@ def _rcu(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) -> str:
     return g.op("Add", [h, x])
 
 
-def _upsample_projection(g: GraphBuilder, x: str, p: dict, in_chw, hint: str) -> tuple[str, tuple]:
-    """RCU -> 2x bilinear align_corners -> 1x1 conv (dpt_neck.py:76-81)."""
-    c, h, w = in_chw
+def _upsample_projection(g: GraphBuilder, x: str, p: dict, in_chw, hint: str, dyn: bool = False) -> tuple[str, tuple | None]:
+    """RCU -> 2x bilinear align_corners -> 1x1 conv (dpt_neck.py:76-81).
+    dyn=True emits a scale-driven Resize and returns shape None."""
     x = _rcu(g, x, p["res2"], in_chw, hint + "_res2")
+    if dyn:
+        x = _resize_scale(g, x, 2.0)
+        x = _conv1x1_from_linear(g, x, _np(p["out_kernel"]), _np(p["out_bias"]), hint + "_out")
+        return x, None
+    c, h, w = in_chw
     oh, ow = resize_output_size((h, w), 2.0)
     x = _resize(g, x, (oh, ow), in_chw)
     x = _conv1x1_from_linear(g, x, _np(p["out_kernel"]), _np(p["out_bias"]), hint + "_out")
     return x, (int(_np(p["out_kernel"]).shape[-1]), oh, ow)
 
 
-def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, readout: str) -> tuple[str, tuple[int, int]]:
+def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, readout: str, grid_shape: str | None = None) -> tuple[str, tuple[int, int] | None]:
     """Reassembly -> fusion -> head, shared across families
-    (models/dpt_neck.py). Returns (output name, depth (h, w))."""
+    (models/dpt_neck.py). Returns (output name, depth (h, w)).
+
+    grid_shape: name of a runtime int64 [B, C, gh, gw] tensor (the Shape of
+    the patch-embed conv output). When given, the graph is emitted with
+    dynamic batch/height/width: token->grid Reshapes use it and all fusion /
+    head Resizes are scale-driven. gh/gw are then ignored and the returned
+    depth shape is None."""
     params = model.params
+    dyn = grid_shape is not None
 
     maps = []
     map_shapes = []
@@ -213,8 +242,11 @@ def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, r
             t = _gelu_erf(g, _linear(g, merged, _np(ro["kernel"]), _np(ro["bias"]), f"re{si}_readout"))
         else:  # 'ignore': drop the cls token (dpt_neck.py:reassemble_stage)
             t = _slice(g, tok, [1], [_I32MAX], [1])
-        t = g.op("Transpose", [t], perm=[0, 2, 1])  # (1, C, N)
-        t = _reshape(g, t, [1, c, gh, gw])
+        t = g.op("Transpose", [t], perm=[0, 2, 1])  # (B, C, N)
+        if dyn:
+            t = g.op("Reshape", [t, grid_shape])  # (B, C, gh, gw) at runtime
+        else:
+            t = _reshape(g, t, [1, c, gh, gw])
         proj_k = _np(p["proj_kernel"])  # (C, C_out) linear == 1x1 conv
         t = _conv1x1_from_linear(g, t, proj_k, _np(p["proj_bias"]), f"re{si}_proj")
         h_, w_ = gh, gw
@@ -236,79 +268,134 @@ def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, r
         maps.append(t)
         map_shapes.append((fk.shape[-1], h_, w_))
 
-    return _emit_fusion_head(g, model, maps, map_shapes)
+    return _emit_fusion_head(g, model, maps, map_shapes, dyn=dyn)
 
 
-def _emit_fusion_head(g: GraphBuilder, model, maps, map_shapes) -> tuple[str, tuple[int, int]]:
+def _emit_fusion_head(g: GraphBuilder, model, maps, map_shapes, dyn: bool = False) -> tuple[str, tuple[int, int] | None]:
     """Top-down fusion + monocular head (dpt_neck.py:fusion_forward,
-    head_forward). maps are NCHW reassembly outputs, finest first."""
+    head_forward). maps are NCHW reassembly outputs, finest first.
+    dyn=True: scale-driven Resizes, Squeeze instead of a fixed final Reshape,
+    returns depth shape None."""
     is_metric = bool(model.config.get("is_metric", False))
     fusion = model.params["fusion"]
-    x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3")
+    x, shp = _upsample_projection(g, maps[3], fusion[3], map_shapes[3], "fu3", dyn=dyn)
     for mi, bi in ((2, 2), (1, 1), (0, 0)):
         r = _rcu(g, maps[mi], fusion[bi]["res1"], map_shapes[mi], f"fu{bi}_res1")
         x = g.op("Add", [r, x])
-        x, shp = _upsample_projection(g, x, fusion[bi], map_shapes[mi], f"fu{bi}")
+        x, shp = _upsample_projection(g, x, fusion[bi], map_shapes[mi], f"fu{bi}", dyn=dyn)
 
     # Head (dpt_neck.py:head_forward)
     head = model.params["head"]
     cin_k = _np(head["conv_in_kernel"])
     x = _conv(g, x, cin_k, _np(head["conv_in_bias"]), "head_in", pad=1)
-    shp = (cin_k.shape[-1], shp[1], shp[2])
-    out_hw = resize_output_size((shp[1], shp[2]), model.spec["head_upsample"])
-    x = _resize(g, x, out_hw, shp)
+    if dyn:
+        out_hw = None
+        x = _resize_scale(g, x, float(model.spec["head_upsample"]))
+    else:
+        shp = (cin_k.shape[-1], shp[1], shp[2])
+        out_hw = resize_output_size((shp[1], shp[2]), model.spec["head_upsample"])
+        x = _resize(g, x, out_hw, shp)
     x = _conv(g, x, _np(head["conv_mid_kernel"]), _np(head["conv_mid_bias"]), "head_mid", pad=1)
     x = g.op("Relu", [x])
     x = _conv1x1_from_linear(g, x, _np(head["proj_kernel"]), _np(head["proj_bias"]), "head_proj")
     x = g.op("Sigmoid" if is_metric else "Relu", [x])
-    x = _reshape(g, x, [1, out_hw[0], out_hw[1]])
+    if dyn:
+        x = _squeeze(g, x, 1)  # (B, 1, H, W) -> (B, H, W)
+    else:
+        x = _reshape(g, x, [1, out_hw[0], out_hw[1]])
     return x, out_hw
 
 
-def emit_depth_anything_onnx(model, image_hw: tuple[int, int]) -> bytes:
+def emit_depth_anything_onnx(model, image_hw: tuple[int, int] | None = None, dynamic: bool = False) -> bytes:
     """Build the ONNX ModelProto bytes for a Depth-Anything `DPTModel`.
 
     model: a DPTModel from make_depthanything{v1,v2}_dpt (any dtype — weights
-    are exported in f32). image_hw must satisfy the model's tiling constraint
-    (use model.compute_scaled_hw / verify_input).
+    are exported in f32).
+
+    Fixed-shape mode (default): image_hw must satisfy the model's tiling
+    constraint (use model.compute_scaled_hw / verify_input); grid-dependent
+    tensors (resized pos-embed) are baked at export time, matching this
+    repo's jit-per-shape execution model.
+
+    dynamic=True: the analog of the reference's dynamic-axes export
+    (reference experiments/export_onnx.py:117-130, dynamic batch/height/
+    width). The input is declared ("batch", 3, "height", "width") and every
+    grid-dependent computation moves in-graph: the pos-embed bicubic resize
+    becomes a runtime Resize (mode=cubic, A=-0.75, pytorch_half_pixel — the
+    exact op torch's own exporter emits for F.interpolate bicubic,
+    antialias=False, matching ops/resize.py's trace-time matrices), token->
+    grid Reshapes are driven by the Shape of the patch-embed output, and the
+    fusion/head upsamples use scale-driven Resizes (output = floor(in*s), the
+    resize_output_size rule). image_hw is ignored. Feeds must still satisfy
+    the family tiling constraint (H, W multiples of 2*patch = 28 px for DA —
+    DPTModel.verify_input), which also keeps every internal grid even.
+    Only the DA families support this: BEiT/SwinV2 bake grid-dependent bias/
+    mask tensors, the same restriction the reference hits for SwinV2
+    (reference experiments/README.md:87).
     """
     params = model.params
     cfg: DinoV2Config = model.spec["encoder_config"]
-    ih, iw = int(image_hw[0]), int(image_hw[1])
     p_px = model.patch_size_px
-    assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
-    gh, gw = ih // p_px, iw // p_px
-    n_patch = gh * gw
     c = cfg.features
-    is_metric = bool(model.config.get("is_metric", False))
+    bh, bw = cfg.base_grid_hw
 
-    g = GraphBuilder("depth_anything")
-    x = g.add_input("image", (1, 3, ih, iw))
+    g = GraphBuilder("depth_anything_dynamic" if dynamic else "depth_anything")
+    grid_shape = None
+    if dynamic:
+        x = g.add_input("image", ("batch", 3, "height", "width"))
+        gh = gw = 0  # static bookkeeping unused on the dynamic path
+    else:
+        ih, iw = int(image_hw[0]), int(image_hw[1])
+        assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
+        gh, gw = ih // p_px, iw // p_px
+        x = g.add_input("image", (1, 3, ih, iw))
 
     # Patch embed: stride==kernel conv (ops/nn.py:patchify_embed as a conv)
     pe_k = _np(params["patch_embed"]["kernel"])  # (P, P, 3, F) HWIO
     x = _conv(g, x, pe_k, _np(params["patch_embed"]["bias"]), "patch_embed", stride=p_px)
-    x = _reshape(g, x, [1, c, n_patch])
-    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (1, N, C)
+    if dynamic:
+        grid_shape = g.op("Shape", [x])  # int64 [B, C, gh, gw]
+        x = _reshape(g, x, [0, c, -1])
+    else:
+        x = _reshape(g, x, [1, c, gh * gw])
+    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (B, N, C)
 
-    # Position embedding, resized for this grid at export time (baked, exactly
-    # as jit bakes it at trace time — models/dinov2.py:resize_pos_embed)
-    pos = np.asarray(
-        resize_pos_embed(_np(params["encoder"]["pos_embed"]), cfg.base_grid_hw, (gh, gw)), np.float32
-    )
-    x = g.op("Add", [x, g.init("pos_embed", pos)])
+    if dynamic:
+        # Position embedding resized in-graph per input grid
+        # (models/dinov2.py:resize_pos_embed, done at trace time in JAX)
+        pos4 = _np(params["encoder"]["pos_embed"]).reshape(1, bh, bw, c).transpose(0, 3, 1, 2)
+        hw = _slice(g, grid_shape, [2], [4], [0])  # int64 [gh, gw]
+        sizes = g.op("Concat", [g.init("pos_nc", np.asarray([1, c], np.int64)), hw], axis=0)
+        pos_r = g.op(
+            "Resize", [g.init("pos_embed_grid", pos4), "", "", sizes],
+            mode="cubic", cubic_coeff_a=-0.75,
+            coordinate_transformation_mode="pytorch_half_pixel",
+        )
+        pos_f = _reshape(g, pos_r, [0, 0, -1])  # (1, C, N)
+        x = g.op("Add", [x, g.op("Transpose", [pos_f], perm=[0, 2, 1])])
+    else:
+        # resized for this grid at export time (baked, exactly as jit bakes
+        # it at trace time — models/dinov2.py:resize_pos_embed)
+        pos = np.asarray(
+            resize_pos_embed(_np(params["encoder"]["pos_embed"]), cfg.base_grid_hw, (gh, gw)), np.float32
+        )
+        x = g.op("Add", [x, g.init("pos_embed", pos)])
 
     cls_tok = _np(params["encoder"]["cls_token"]) + _np(params["encoder"]["cls_embed"])
-    x = g.op("Concat", [g.init("cls_token", cls_tok.reshape(1, 1, c)), x], axis=1)
+    cls_init = g.init("cls_token", cls_tok.reshape(1, 1, c))
+    if dynamic:
+        b1 = _slice(g, grid_shape, [0], [1], [0])  # int64 [B]
+        cls_shape = g.op("Concat", [b1, g.init("cls_tail", np.asarray([1, c], np.int64))], axis=0)
+        cls_init = g.op("Expand", [cls_init, cls_shape])
+    x = g.op("Concat", [cls_init, x], axis=1)
 
-    n = n_patch + 1
     stacked = params["encoder"]["blocks"]
     taps = cfg.taps or DinoV2Config.stage_taps(cfg.num_blocks)
     stage_tokens = []
     for i in range(cfg.num_blocks):
         bp = {k: np.asarray(v)[i] for k, v in stacked.items()}
         h = _layer_norm(g, x, bp["norm1_scale"], bp["norm1_bias"], f"b{i}_ln1")
-        h = _attention(g, h, bp, n, cfg.num_heads, c)
+        h = _attention(g, h, bp, cfg.num_heads, c)
         h = g.op("Mul", [h, g.init(f"b{i}_ls1", _np(bp["ls1"]))])
         x = g.op("Add", [x, h])
         h = _layer_norm(g, x, bp["norm2_scale"], bp["norm2_bias"], f"b{i}_ln2")
@@ -320,13 +407,17 @@ def emit_depth_anything_onnx(model, image_hw: tuple[int, int]) -> bytes:
                 _layer_norm(g, x, params["encoder"]["outnorm_scale"], params["encoder"]["outnorm_bias"], f"tap{i}_outnorm")
             )
 
-    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="ignore")
-    g.add_output(x, (1, out_hw[0], out_hw[1]))
-
-    return g.serialize(
-        opset=17,
-        doc=f"Depth-Anything DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
-    )
+    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="ignore", grid_shape=grid_shape)
+    if dynamic:
+        g.add_output(x, ("batch", "out_height", "out_width"))
+        doc = (
+            f"Depth-Anything DPT, dynamic input (batch,3,height,width), height/width "
+            f"multiples of {2 * p_px}, normalized RGB; depth (batch,out_height,out_width)"
+        )
+    else:
+        g.add_output(x, (1, out_hw[0], out_hw[1]))
+        doc = f"Depth-Anything DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})"
+    return g.serialize(opset=17, doc=doc)
 
 
 def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
@@ -380,7 +471,7 @@ def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
             axis=1,
         ).reshape(3 * c)
         bp_attn = dict(bp, qkv_bias=qkv_bias)
-        h = _attention(g, h, bp_attn, n, heads, c, bias=bias_stack[i : i + 1])
+        h = _attention(g, h, bp_attn, heads, c, bias=bias_stack[i : i + 1])
         h = g.op("Mul", [h, g.init(f"b{i}_ls1", _np(bp["ls1"]))])
         x = g.op("Add", [x, h])
         h = _layer_norm(g, x, bp["norm2_scale"], bp["norm2_bias"], f"b{i}_ln2")

@@ -68,6 +68,45 @@ def _conv_transpose2d(x, w, b, strides):
     return y
 
 
+def _resize_cubic_2d(x, out_hw, ctm: str, a: float):
+    """Separable cubic (Keys) resize per the ONNX Resize spec with
+    exclude_outside=0 (border taps clamp to the edge) — the op torch's
+    exporter emits for F.interpolate(bicubic, antialias=False)."""
+    n, c, h, w = x.shape
+    oh, ow = out_hw
+
+    def axis_matrix(out_len: int, in_len: int) -> np.ndarray:
+        i = np.arange(out_len, dtype=np.float64)
+        if ctm == "align_corners":
+            src = i * (in_len - 1) / max(out_len - 1, 1)
+        elif ctm == "pytorch_half_pixel":
+            src = (i + 0.5) * in_len / out_len - 0.5 if out_len > 1 else np.zeros_like(i)
+        else:  # half_pixel
+            src = (i + 0.5) * in_len / out_len - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        t = src - i0
+        # 4-tap weights at distances 1+t, t, 1-t, 2-t (Keys cubic, coeff a)
+        def k1(d):  # |d| <= 1
+            return ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+
+        def k2(d):  # 1 < |d| < 2
+            return (((d - 5.0) * d + 8.0) * d - 4.0) * a
+
+        weights = [k2(1.0 + t), k1(t), k1(1.0 - t), k2(2.0 - t)]
+        m = np.zeros((out_len, in_len), dtype=np.float64)
+        rows = np.arange(out_len)
+        for tap, wgt in enumerate(weights):
+            cols = np.clip(i0 - 1 + tap, 0, in_len - 1)
+            np.add.at(m, (rows, cols), wgt)
+        return m
+
+    mh = axis_matrix(oh, h)
+    mw = axis_matrix(ow, w)
+    y = np.einsum("oh,nchw->ncow", mh, x.astype(np.float64), optimize=True)
+    y = np.einsum("pw,nchw->nchp", mw, y, optimize=True)
+    return y.astype(x.dtype)
+
+
 def _resize_linear_2d(x, out_hw, align_corners: bool):
     n, c, h, w = x.shape
     oh, ow = out_hw
@@ -192,7 +231,20 @@ def evaluate_model(model: dict | bytes, feeds: dict[str, np.ndarray]) -> dict[st
         elif op == "Transpose":
             y = np.transpose(ins[0], a["perm"])
         elif op == "Reshape":
-            y = ins[0].reshape([int(d) for d in ins[1]])
+            # ONNX semantics: 0 copies the input dim (allowzero=0), -1 infers
+            shape = [
+                ins[0].shape[i] if int(d) == 0 else int(d)
+                for i, d in enumerate(ins[1])
+            ]
+            y = ins[0].reshape(shape)
+        elif op == "Shape":
+            y = np.asarray(ins[0].shape, np.int64)
+        elif op == "Squeeze":
+            axes = ins[1] if len(ins) > 1 and ins[1] is not None else a.get("axes")
+            y = np.squeeze(ins[0], axis=tuple(int(v) for v in axes))
+        elif op == "Unsqueeze":
+            axes = ins[1] if len(ins) > 1 and ins[1] is not None else a.get("axes")
+            y = np.expand_dims(ins[0], axis=tuple(int(v) for v in axes))
         elif op == "Concat":
             y = np.concatenate(ins, axis=int(a["axis"]))
         elif op == "Slice":
@@ -205,10 +257,21 @@ def evaluate_model(model: dict | bytes, feeds: dict[str, np.ndarray]) -> dict[st
         elif op == "Resize":
             mode = a.get("mode", "nearest")
             ctm = a.get("coordinate_transformation_mode", "half_pixel")
-            if mode != "linear":
+            if len(ins) > 3 and ins[3] is not None:
+                sizes = ins[3]
+                out_hw = (int(sizes[2]), int(sizes[3]))
+            else:  # scales input: output = floor(in * scale) per the spec
+                scales = ins[2]
+                out_hw = (
+                    int(np.floor(ins[0].shape[2] * float(scales[2]))),
+                    int(np.floor(ins[0].shape[3] * float(scales[3]))),
+                )
+            if mode == "linear":
+                y = _resize_linear_2d(ins[0], out_hw, ctm == "align_corners")
+            elif mode == "cubic":
+                y = _resize_cubic_2d(ins[0], out_hw, ctm, float(a.get("cubic_coeff_a", -0.75)))
+            else:
                 raise NotImplementedError(f"Resize mode {mode!r}")
-            sizes = ins[3]
-            y = _resize_linear_2d(ins[0], (int(sizes[2]), int(sizes[3])), ctm == "align_corners")
         elif op == "Expand":
             y = ins[0] * np.ones([int(d) for d in ins[1]], dtype=ins[0].dtype)
         elif op == "Identity":

@@ -219,3 +219,44 @@ def test_codec_preserves_unknown_fields_through_roundtrip():
     # same field set re-parses identically (order may differ; content may not)
     msg2 = decode_message("ModelProto", reencoded)
     assert msg2 == msg
+
+
+def test_emitted_dav2_dynamic_axes():
+    """Dynamic batch/height/width export (the analog of the reference's
+    dynamic_axes, reference experiments/export_onnx.py:117-130): ONE artifact
+    runs at multiple sizes and batch>1. The pos-embed bicubic resize, the
+    token->grid reshapes, and the fusion/head upsamples all move in-graph."""
+    m = make_depthanythingv2_dpt(64, 2, 4, (8, 16, 32, 64), (8, 8), 16)
+    data = emit_depth_anything_onnx(m, dynamic=True)
+
+    parsed = decode_message("ModelProto", data)
+    dims = parsed["graph"]["input"][0]["type"]["tensor_type"]["shape"]["dim"]
+    assert [d.get("dim_param", d.get("dim_value")) for d in dims] == ["batch", 3, "height", "width"]
+    odims = parsed["graph"]["output"][0]["type"]["tensor_type"]["shape"]["dim"]
+    assert all("dim_param" in d for d in odims)
+    # no baked pos_embed initializer at the target grid; the base-grid one is in
+    names = {t["name"] for t in parsed["graph"]["initializer"]}
+    assert any(n.startswith("pos_embed_grid") for n in names)
+
+    rng = np.random.default_rng(1)
+    # (112,112): base grid (identity resize); (84,140): non-square in-graph
+    # bicubic pos resize; (56,56) batch 2: dynamic batch
+    for b, hw in ((1, (112, 112)), (1, (84, 140)), (2, (56, 56))):
+        x = rng.standard_normal((b, 3, *hw)).astype(np.float32) * 0.5
+        want = np.asarray(m.forward(jnp.asarray(x)), np.float32)
+        (got,) = evaluate_model(data, {"image": x}).values()
+        assert got.shape == want.shape, (b, hw, got.shape, want.shape)
+        absrel = np.abs(got - want).mean() / max(np.abs(want).mean(), 1e-9)
+        assert absrel < 2e-5, (b, hw, absrel)
+
+
+def test_emitted_dav1_dynamic_axes():
+    """DA-V1 (last-4-blocks taps) through the same dynamic emitter."""
+    m = make_depthanythingv1_dpt(64, 2, 6, (8, 16, 32, 64), (8, 8), 16)
+    data = emit_depth_anything_onnx(m, dynamic=True)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 3, 84, 112)).astype(np.float32) * 0.5
+    want = np.asarray(m.forward(jnp.asarray(x)), np.float32)
+    (got,) = evaluate_model(data, {"image": x}).values()
+    absrel = np.abs(got - want).mean() / max(np.abs(want).mean(), 1e-9)
+    assert absrel < 2e-5, absrel
