@@ -26,7 +26,7 @@ def make_dpt_from_state_dict(
     model_type: str | None = None,
     dtype=jnp.float32,
     conversion_cache: bool = False,
-    unroll_blocks: bool = False,
+    unroll_blocks: bool | int = False,
 ):
     """Load an original .pt/.pth checkpoint (unchanged, as downloaded) and
     build the matching DPT model. Returns (config_dict, model).
@@ -37,7 +37,9 @@ def make_dpt_from_state_dict(
 
     unroll_blocks=True switches the DINOv2 encoders (Depth-Anything V1/V2)
     to the fixed-shape serving mode (~12% faster encoder, ~7x longer compile
-    per input shape); ignored by the BEiT/SwinV2 families."""
+    per input shape); an int k >= 2 requests the partial lax.scan(unroll=k)
+    middle ground instead (tools/scan_unroll_curve.py charts the trade).
+    Ignored by the BEiT/SwinV2 families."""
     if conversion_cache:
         from .checkpoints.cache import load_converted
 
@@ -49,7 +51,7 @@ def make_dpt_from_state_dict(
                 config_dict["enable_cache"] = enable_cache
                 config_dict["enable_optimizations"] = enable_optimizations
                 if unroll_blocks:
-                    config_dict["unroll_blocks"] = True
+                    config_dict["unroll_blocks"] = unroll_blocks
                 model = _build_from_converted(cached_type, config_dict, params, dtype)
                 return config_dict, model
 
@@ -79,7 +81,7 @@ def make_dpt_from_state_dict(
     if unroll_blocks:
         # rebuild the spec with the serving-mode flag (spec construction is
         # cheap; the params pytree is reused as-is)
-        config_dict = dict(config_dict, unroll_blocks=True)
+        config_dict = dict(config_dict, unroll_blocks=unroll_blocks)
         model = _build_from_converted(model_type, config_dict, model.params, dtype)
 
     if conversion_cache:

@@ -42,7 +42,10 @@ class DinoV2Config:
     # Unrolled blocks run ~12% faster on v5e (XLA fuses across layers) but
     # compile ~7x slower per input shape (112 s vs 16 s for ViT-L) — off by
     # default to keep interactive size-switching usable; turn on for serving.
-    unroll: bool = False
+    # True = full Python unroll; an int k >= 2 = lax.scan(unroll=k), the
+    # compile-time middle ground (tools/scan_unroll_curve.py charts ms vs
+    # compile-s per k).
+    unroll: bool | int = False
 
     @staticmethod
     def stage_taps(num_blocks: int) -> tuple[int, ...]:
@@ -104,13 +107,16 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: DinoV2Config, capt
 
     if not capture:
         outputs = []
-        if cfg.unroll:
+        if cfg.unroll is True:
             for i in range(cfg.num_blocks):
                 bp = jax.tree_util.tree_map(lambda a: a[i], stacked)
                 tokens = block_forward(tokens, bp, cfg)
                 if i in taps:
                     outputs.append(tokens)
         else:
+            # int unroll >= 2: partial scan unrolling — XLA fuses across k
+            # adjacent blocks while the loop structure keeps compile bounded
+            k = int(cfg.unroll) if cfg.unroll else 1
             start = 0
 
             def body(tok, bp):
@@ -118,7 +124,7 @@ def encoder_forward(params, patch_tokens, patch_grid_hw, cfg: DinoV2Config, capt
 
             for t in taps:
                 seg = jax.tree_util.tree_map(lambda a: a[start : t + 1], stacked)
-                tokens = lax.scan(body, tokens, seg)[0]
+                tokens = lax.scan(body, tokens, seg, unroll=k)[0]
                 outputs.append(tokens)
                 start = t + 1
         outnorm = lambda x: layer_norm(x, params["outnorm_scale"], params["outnorm_bias"])

@@ -40,3 +40,17 @@ def test_loader_unroll_blocks_kwarg(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m_unroll.inference(img)), np.asarray(m_scan.inference(img)), rtol=1e-5, atol=1e-6
     )
+
+
+def test_partial_unroll_k_matches_scan():
+    """unroll_blocks=k (lax.scan(unroll=k) middle ground) is numerically the
+    scan path — including k=3, which does not divide the 2-block stage
+    segments of an 8-block model."""
+    model = make_depthanythingv2_dpt(64, 1, 8, (8, 16, 32, 64), (8, 8), 16, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    out_scan = np.asarray(model.spec["forward"](model.params, x))
+    for k in (2, 3):
+        spec_k = make_family_spec(dict(model.config, unroll_blocks=k), version=2)
+        out_k = np.asarray(spec_k["forward"](model.params, x))
+        np.testing.assert_allclose(out_k, out_scan, rtol=1e-6, atol=1e-6, err_msg=f"unroll={k}")

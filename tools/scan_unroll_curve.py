@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Chart the lax.scan(unroll=k) compile-time / throughput trade for serving.
+
+`unroll_blocks=True` (full Python unroll) buys ~12% encoder speed for a
+112 s ViT-L compile per shape; the scan default compiles in 16 s but leaves
+that speed on the table (models/dinov2.py:DinoV2Config.unroll). This tool
+measures the middle ground — lax.scan(unroll=k) for k in {1, 2, 3, 6, full} —
+on the real chip: cold compile seconds (persistent compilation cache NOT
+enabled, so each k is a true compile) and steady-state fps at the headline
+504² ViT-L config. If a knee exists (most of the fps for a fraction of the
+compile), it becomes the recommended serving default in docs/performance.md.
+
+Run: python tools/scan_unroll_curve.py [--ks 1 2 3 6 full] [--iters 150]
+(real TPU; ~15 min worst case — the full-unroll compile alone is ~2 min).
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", nargs="*", default=["1", "2", "3", "6", "full"])
+    ap.add_argument("--iters", type=int, default=150)
+    ap.add_argument("--size", type=int, default=518)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import chip_fps, ensure_backend_reachable
+    from muggled_dpt_tpu.make_depthanythingv2_dpt import make_depthanythingv2_dpt
+
+    ensure_backend_reachable(timeout_s=600)
+    print(f"devices: {jax.devices()}")
+
+    rng = np.random.default_rng(0)
+    image_bgr = rng.integers(0, 256, size=(720, 1280, 3), dtype=np.uint8)
+
+    rows = []
+    for kstr in args.ks:
+        unroll = True if kstr == "full" else int(kstr)
+        if unroll == 1:
+            unroll = False
+        model = make_depthanythingv2_dpt(
+            features_per_token=1024, num_heads=16, num_blocks=24,
+            reassembly_features_list=(256, 512, 1024, 1024),
+            base_patch_grid_hw=(37, 37), fusion_channels=256, patch_size_px=14,
+            unroll_blocks=unroll, dtype=jnp.bfloat16,
+        )
+        scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], args.size, True)
+        frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
+        run_one = lambda: model.inference_rgb_device(frame_dev, scaled_hw)
+
+        t0 = time.perf_counter()
+        np.asarray(run_one())  # trace + compile + first run, full readback
+        compile_s = time.perf_counter() - t0
+        fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters)
+        rows.append({"unroll": kstr, "compile_s": round(compile_s, 1), "fps": round(fps, 2)})
+        print(f"unroll={kstr:>4s}: compile {compile_s:6.1f} s   {fps:6.2f} fps", flush=True)
+
+    print(json.dumps({"metric": "scan_unroll_curve @504^2 ViT-L bf16", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
