@@ -415,6 +415,58 @@ class MaskOverlay(Overlay):
         frame[m] = tint.astype(np.uint8)
 
 
+class OutlineOverlay(Overlay):
+    """Border outline around the panel with separate hover styling (reference
+    toadui DrawOutlineOverlay, overlays.py:261-318) — e.g. highlighting the
+    hovered display in a multi-panel layout."""
+
+    def __init__(self, color=(0, 0, 0), thickness=1, hover_color=None, hover_thickness=None):
+        self.color, self.thickness = color, thickness
+        self.hover_color = color if hover_color is None else hover_color
+        self.hover_thickness = thickness if hover_thickness is None else hover_thickness
+        self._hovered = False
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        self._hovered = True
+
+    def on_mouse_elsewhere(self):
+        self._hovered = False
+
+    def draw(self, frame, wh):
+        color = self.hover_color if self._hovered else self.color
+        t = self.hover_thickness if self._hovered else self.thickness
+        w, h = wh
+        cv2.rectangle(frame, (0, 0), (w - 1, h - 1), color, t)
+
+
+class CustomOverlay(Overlay):
+    """User-defined draw callback (reference toadui DrawCustomOverlay,
+    overlays.py:321-383): fn(frame_bgr, xy_norm_or_None) may draw on the
+    frame in place or return a same-shape replacement; a None fn disables
+    the overlay. xy_norm is the latest hover position (None off-panel)."""
+
+    def __init__(self, draw_fn=None):
+        self.draw_fn = draw_fn
+        self._xy_norm = None
+
+    def set_render(self, draw_fn):
+        self.draw_fn = draw_fn
+        return self
+
+    def on_mouse(self, xy_norm, event, flags=0):
+        self._xy_norm = xy_norm
+
+    def on_mouse_elsewhere(self):
+        self._xy_norm = None
+
+    def draw(self, frame, wh):
+        if self.draw_fn is None:
+            return
+        out = self.draw_fn(frame, self._xy_norm)
+        if out is not None and out is not frame:
+            np.copyto(frame, np.asarray(out, frame.dtype))
+
+
 class CrosshairOverlay(Overlay):
     """Full-span crosshair lines following the hover position (or pinned via
     set()), with an optional coordinate readout (reference toadui crosshair
@@ -889,13 +941,28 @@ class Carousel(UIElement):
         cv2.rectangle(img, (width - aw + 3, 3), (width - 3, self.height - 3), (80, 80, 80), 1)
         cv2.fillPoly(img, [np.array([(aw // 2 + 4, hh - 6), (aw // 2 + 4, hh + 6), (aw // 2 - 6, hh)])], _FG)
         cv2.fillPoly(img, [np.array([(width - aw // 2 - 4, hh - 6), (width - aw // 2 - 4, hh + 6), (width - aw // 2 + 6, hh)])], _FG)
-        text = f"{self.label}: {self.value}" if self.label else str(self.value)
+        shown = self._display_text()
+        text = f"{self.label}: {shown}" if self.label else shown
         TextDrawer(0.45).draw(img, text, (width // 2, hh - 7), anchor="center")
         return img
+
+    def _display_text(self) -> str:
+        return str(self.value)
 
     def on_mouse(self, x, y, event, flags=0):
         if event == cv2.EVENT_LBUTTONDOWN:
             self.cycle(-1 if x < self.ARROW_W else 1)
+
+
+class PathCarousel(Carousel):
+    """Carousel over filesystem paths: cycles full paths as values but shows
+    only the basename (reference toadui PathCarousel, carousels.py) — the
+    model/file pickers in the reference demos use this form."""
+
+    def _display_text(self) -> str:
+        import os.path as osp
+
+        return osp.basename(str(self.value)) if self.value is not None else "—"
 
 
 class ImageDisplay(UIElement):

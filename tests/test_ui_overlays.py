@@ -166,3 +166,53 @@ def test_carousel_cycles_and_reads():
     c.on_mouse(5, 10, cv2.EVENT_LBUTTONDOWN)  # wraps
     _, idx, val = c.read()
     assert idx == 2 and val == "c"
+
+
+def test_outline_overlay_hover_styling():
+    from muggled_dpt_tpu.demo_helpers.ui import OutlineOverlay
+
+    d = _display()
+    ov = d.add_overlay(OutlineOverlay(color=(40, 40, 40), hover_color=(0, 255, 0), thickness=1, hover_thickness=2))
+    frame = d.render(200)
+    assert tuple(frame[0, 100]) == (40, 40, 40)  # top border, base color
+    d.on_mouse(100, 50, cv2.EVENT_MOUSEMOVE)  # hover over the panel
+    frame = d.render(200)
+    assert tuple(frame[0, 100]) == (0, 255, 0)
+    assert tuple(frame[1, 100]) == (0, 255, 0)  # hover thickness 2
+    d.on_mouse_elsewhere()
+    assert tuple(d.render(200)[0, 100]) == (40, 40, 40)
+
+
+def test_custom_overlay_draw_fn_and_hover_xy():
+    from muggled_dpt_tpu.demo_helpers.ui import CustomOverlay
+
+    d = _display()
+    seen = []
+
+    def draw(frame, xy_norm):
+        seen.append(xy_norm)
+        frame[:, :, 2] = 200  # draw in place
+
+    ov = d.add_overlay(CustomOverlay(draw))
+    assert d.render(200)[0, 0, 2] == 200 and seen[-1] is None
+    d.on_mouse(150, 50, cv2.EVENT_MOUSEMOVE)
+    d.render(200)
+    assert seen[-1] is not None and abs(seen[-1][0] - 0.75) < 0.02
+
+    # returned-frame form (the reference's fn(frame)->frame contract)
+    ov.set_render(lambda frame, xy: np.full_like(frame, 7))
+    assert (d.render(200) == 7).all()
+    ov.set_render(None)  # disabled
+    assert not d.render(200).any()
+
+
+def test_path_carousel_shows_basename_keeps_full_path():
+    from muggled_dpt_tpu.demo_helpers.ui import PathCarousel
+
+    car = PathCarousel("model", ["/a/b/first.pt", "/a/b/second.pt"])
+    img = car.render(300)
+    assert img.shape[0] == car.height
+    assert car.value == "/a/b/first.pt" and car._display_text() == "first.pt"
+    car.on_mouse(290, 10, cv2.EVENT_LBUTTONDOWN)  # right arrow -> next
+    changed, idx, value = car.read()
+    assert changed and idx == 1 and value == "/a/b/second.pt"
