@@ -21,27 +21,46 @@ sys.path.insert(0, "/root/repo")
 from muggled_dpt_tpu.ops.pallas.flash_attention import _flash_bhnd_prescaled  # noqa: E402
 
 
-def timeit_chain(fn, x, reps=4, k1=3, k2=9):
-    """In-graph chain slope timing (tunnel RTT cancels)."""
-    def chain(x0, k):
-        y = x0
-        for _ in range(k):
-            y = fn(y)
-        return y
+def timeit_chain(fn, x, reps=4, target_s=0.3, max_links=512):
+    """In-graph chain slope timing (tunnel RTT cancels).
 
-    j1 = jax.jit(lambda x0: chain(x0, k1))
-    j2 = jax.jit(lambda x0: chain(x0, k2))
-    np.asarray(j1(x)[0, 0, 0]); np.asarray(j2(x)[0, 0, 0])
+    The chain is a lax.scan whose body feeds fn's output back as input, so
+    iterations serialize on data dependence while compile time stays flat in
+    the chain length. Lengths are adaptive: a short pilot slope estimates the
+    per-op time, then the final two-point measurement is sized so the
+    k2-k1 delta is ~target_s of chip work — the round-3/4 fixed (3, 9) chains
+    put only 6 ops in the delta, which for sub-ms ops was far below the
+    tunnel's ±ms noise floor and produced physically impossible readings
+    (0.06 ms for a 35 GFLOP op)."""
+    from jax import lax
 
-    def run(j):
+    def build(k):
+        @jax.jit
+        def run(x0):
+            y, _ = lax.scan(lambda c, _: (fn(c), None), x0, None, length=k)
+            return y
+        return run
+
+    def run_best(j, r=reps):
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(r):
             t0 = time.perf_counter()
             np.asarray(j(x)[0, 0, 0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (run(j2) - run(j1)) / (k2 - k1)
+    # pilot: slope between 4 and 12 links (compile + 2 measurements)
+    j4, j12 = build(4), build(12)
+    np.asarray(j4(x)[0, 0, 0]); np.asarray(j12(x)[0, 0, 0])
+    pilot = (run_best(j12, 2) - run_best(j4, 2)) / 8
+    if pilot * 8 >= target_s:
+        return pilot
+    est = max(pilot, run_best(j12, 1) / 12 / 4, 5e-6)  # fallbacks if pilot noisy
+    k2 = min(max_links, max(16, int(target_s / est)))
+    k1 = max(2, k2 // 4)
+    j1, j2 = build(k1), build(k2)
+    np.asarray(j1(x)[0, 0, 0]); np.asarray(j2(x)[0, 0, 0])
+    return (run_best(j2) - run_best(j1)) / (k2 - k1)
 
 
 def main():

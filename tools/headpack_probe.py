@@ -29,7 +29,10 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _chain(body_fn, carry_init, c1=8, c2=40, reps=5):
+def _chain(body_fn, carry_init, c1=1024, c2=16384, reps=5):
+    # c1/c2 sizing: these probes are ~1-3 us ops, so the (c2-c1) delta needs
+    # tens of thousands of links to rise above the tunnel's ±ms noise
+    # (15360 links x ~2 us ≈ 30 ms of chip work); scan keeps compile flat.
     """body_fn(carry) -> scalar probe; carry is barrier-threaded unchanged so
     every chain step re-executes the op (same harness as int8_mxu_probe)."""
 

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def time_matmul(m, k, n, dtype, acc_dtype, c1=8, c2=40, reps=5):
+def time_matmul(m, k, n, dtype, acc_dtype, c1=64, c2=640, reps=6):
+    # c1/c2 sizing: the (c2-c1) delta must be well above the tunnel's ±ms
+    # noise. The original (8, 40) chains put ~32 ops (~1.4 ms for the K=64
+    # cases) in the delta and returned NEGATIVE slopes; 576 ops x ~40 us
+    # is ~25 ms of chip work, comfortably measurable.
     rng = np.random.default_rng(0)
     if dtype == jnp.int8:
         lhs = jnp.asarray(rng.integers(-127, 127, (m, k), dtype=np.int8))
