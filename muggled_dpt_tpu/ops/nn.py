@@ -155,7 +155,8 @@ def self_attention(tokens, p, num_heads, bias=None, impl="xla", capture=False):
             fused_qkv_supported,
         )
 
-        if flash_attention_available() and n >= 512 and fused_qkv_supported(n, num_heads, d):
+        biased = bias is not None or bias_stack is not None
+        if flash_attention_available() and n >= 512 and fused_qkv_supported(n, num_heads, d, biased=biased):
             out = flash_attention_fused_qkv(qkv, num_heads, bias=bias, bias_stack=bias_stack, layer=layer)
             return linear_p(out, p, "proj")
 

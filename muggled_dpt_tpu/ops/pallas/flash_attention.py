@@ -6,20 +6,26 @@ Serves the attention flavors in this framework (SURVEY.md §7 kernel ①/③):
 * (SwinV2 windows run their own batched kernel, window_attention.py, with
   the CPB bias + shift mask folded into one additive term.)
 
-Two kernels, picked by sequence length:
+Two kernels:
 
-ONE-PASS (N_pad <= ONE_PASS_MAX_KV): the whole key range fits one VMEM block,
-so there is no online-softmax state at all — plain max/exp/sum over the full
-logit row, no scratch, no correction passes. Padded key columns get a -inf
-iota mask (an analytic pad-count correction was measured ~2 us faster but
-cancels catastrophically when every real logit is far below 0 — e.g. strongly
-negative additive biases — so the robust mask stays; the failure is pinned by
-tests/test_flash_attention.py::test_flash_all_logits_negative).
+ONE-PASS (the serving default at every DPT sequence length — see the round-4
+note at ONE_PASS_MAX_KV): the whole key range is resident per program (K/V
+cost only 2*N_pad*D*2B VMEM), so there is no online-softmax state at all —
+plain max/exp/sum over the full logit row, no scratch, no correction passes;
+the q-block shrinks with N to bound the f32 logit tile. Padded key columns
+get a -inf iota mask (an analytic pad-count correction was measured ~2 us
+faster but cancels catastrophically when every real logit is far below 0 —
+e.g. strongly negative additive biases — so the robust mask stays; the
+failure is pinned by tests/test_flash_attention.py::
+test_flash_all_logits_negative).
 
-ONLINE (larger N): FlashAttention-2 work partitioning (arXiv:2307.08691),
-grid over (batch*head, query-block, key-block), running (max, sum, acc) in
-VMEM scratch persisting across the key axis — the N x N logit matrix never
-exists in HBM and VMEM use is independent of N.
+ONLINE (one_pass=False, or N past the 32768 ceiling): FlashAttention-2 work
+partitioning (arXiv:2307.08691), grid over (batch*head, query-block,
+key-block), running (max, sum, acc) in VMEM scratch persisting across the
+key axis — the N x N logit matrix never exists in HBM and VMEM use is
+independent of N. Measured 19-32% slower than one-pass at N=2917..18497
+(round-4 sweep) — the per-k-step correction passes and the re-streamed K/V
+cost more than the one-pass logit tile's extra VMEM pressure.
 
 Both kernels take q PRE-SCALED by the softmax scale (folded into XLA's
 preceding ops), so the kernel never multiplies the (BQ, BK) logit tile by a
@@ -50,11 +56,22 @@ from ._common import _HAS_PLTPU, NEG_INF, pltpu, round_up as _round_up, tpu_kern
 
 LOG2E = 1.4426950408889634  # the online kernel works in exp2 domain (see below)
 
-# One-pass cutoff: the f32 logit block (block_q x N_pad) plus q/k/v/o must fit
-# VMEM. At 2048 keys a whole-N q-block costs 2048*2048*4 = 16.8 MB — comfortable.
-ONE_PASS_MAX_KV = 2048
-# Cap the one-pass q-block so the logit tile stays <= ~16 MB.
+# One-pass cutoff. Rounds 1-3 served one-pass only to 2048 keys (where a
+# whole-N q-block's f32 logit tile stays <= 16.8 MB); the round-4 on-chip
+# sweep with the fixed adaptive-chain timer (tools/flash_tune.py, /tmp/
+# hw_round4) showed one-pass beats the online kernel at EVERY serving N once
+# block_q shrinks with N — 0.45 vs 0.50 ms at N=2917, 1.51 vs 1.99 at 5477,
+# 5.41 vs 7.04 at 10405, 16.16 vs 19.89 at 18497 (per 16-head D=64 op) — so
+# the cutoff now covers every DPT grid through ~2500^2-px inputs. VMEM stays
+# bounded: the q-block cap keeps the logit tile ~16-34 MB and the resident
+# K/V cost 2*N_pad*D*2B (8.4 MB at the 32768 ceiling). The online kernel
+# remains for forced use (one_pass=False) and N past the ceiling.
+ONE_PASS_MAX_KV = 32768
+# Cap the one-pass q-block so the logit tile stays <= ~16 MB (floored at a
+# 256-row block: at N=18497 the 256-row tile is 19 MB and measured 2% faster
+# than the 128-row cap the strict budget would pick).
 ONE_PASS_LOGIT_BYTES = 16 * 1024 * 1024
+ONE_PASS_MIN_BLOCK_Q = 256
 
 
 def flash_attention_available() -> bool:
@@ -162,14 +179,38 @@ def _heads_per_program(num_heads: int, d: int) -> int | None:
     return None
 
 
-def fused_qkv_supported(n: int, num_heads: int, d: int, max_kv: int | None = None) -> bool:
-    """One-pass regime + a head grouping that satisfies lane alignment.
+def _fused_vmem_need_bytes(n_pad: int, hpp: int, biased: bool) -> int:
+    """VMEM bytes the fused-qkv one-pass kernel needs at (n_pad, hpp): the hpp
+    unrolled f32 logit tiles, plus (biased) double-buffered bias blocks at the
+    bf16 the kernel downcasts to when over budget, plus qkv/out slabs+margin.
+    Single source of truth for the gate below and the kernel's asserts."""
+    logit = hpp * n_pad * n_pad * 4
+    bias_db = 2 * hpp * n_pad * n_pad * 2 if biased else 0
+    return logit + bias_db + (8 if biased else 16) * 1024 * 1024
+
+
+_FUSED_VMEM_BUDGET = 120 * 1024 * 1024  # under the ~128 MB physical VMEM
+
+
+def fused_qkv_supported(
+    n: int, num_heads: int, d: int, max_kv: int | None = None, biased: bool = False
+) -> bool:
+    """One-pass regime + a head grouping that satisfies lane alignment + the
+    kernel's own VMEM budget (the whole-N logit tiles grow quadratically, so
+    past ~n_pad 3600 unbiased / ~2500 biased the (B,N,H,D) wrapper must serve
+    instead even inside the cutover).
 
     max_kv overrides the serving cutoff (ONE_PASS_MAX_KV) — the kernel itself
     is VMEM-feasible somewhat past it (see flash_attention_fused_qkv's budget
     assert); tools/flash_tune.py measures where the cutover actually pays."""
     limit = ONE_PASS_MAX_KV if max_kv is None else max_kv
-    return _round_up(n, 128) <= limit and _heads_per_program(num_heads, d) is not None
+    n_pad = _round_up(n, 128)
+    if n_pad > limit:
+        return False
+    hpp = _heads_per_program(num_heads, d)
+    if hpp is None:
+        return False
+    return _fused_vmem_need_bytes(n_pad, hpp, biased) <= _FUSED_VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -205,7 +246,7 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     # ONE_PASS_MAX_KV; direct callers past it (the cutover sweep) are fine
     # as long as this budget holds.
     base_logit_bytes = hpp * n_pad * n_pad * 4
-    assert base_logit_bytes + 16 * 1024 * 1024 <= 120 * 1024 * 1024, (
+    assert _fused_vmem_need_bytes(n_pad, hpp, False) <= _FUSED_VMEM_BUDGET, (
         f"fused-qkv one-pass needs ~{(base_logit_bytes >> 20) + 16} MB VMEM at "
         f"n_pad={n_pad}, hpp={hpp} (over the 128 MB physical budget); use flash_attention"
     )
@@ -242,7 +283,7 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
             else:
                 bias = bsrc
         need = logit_bytes + bias_db_bytes + 8 * 1024 * 1024  # qkv/out slabs + margin
-        assert need <= 120 * 1024 * 1024, (
+        assert need <= _FUSED_VMEM_BUDGET, (
             f"fused-qkv biased path needs ~{need >> 20} MB VMEM at n_pad={n_pad}, hpp={hpp} "
             "(over the 128 MB physical budget); use flash_attention's (B,N,H,D) wrapper instead"
         )
@@ -433,9 +474,12 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         if block_q is None:
             # largest 128-multiple whose f32 logit tile fits the budget,
             # preferring blocks that minimize dead padded q rows (a whole-N
-            # block is exact below the cutoff; past it — forced one_pass —
-            # the naive cap can pad up to ~45% dead rows)
-            cap = min(n_pad128, max(128, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128))
+            # block is exact for small N; at large N the cap shrinks toward
+            # the 256-row floor)
+            cap = min(
+                n_pad128,
+                max(ONE_PASS_MIN_BLOCK_Q, ONE_PASS_LOGIT_BYTES // (n_pad128 * 4) // 128 * 128),
+            )
             block_q, best_pad = cap, _round_up(n_pad128, cap)
             for cand in range(cap, 511, -128):
                 padded = _round_up(n_pad128, cand)

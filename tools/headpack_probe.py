@@ -16,9 +16,9 @@ is WORSE than 2x (extra relayout passes, pipeline bubbles). This probe
 measures that primitive before any kernel is built; the decision rule is the
 same as tools/int8_mxu_probe.py.
 
-Method: chain-slope timing (tools/attn_variants.py) — per-op time is the
-slope between two in-graph chain lengths, serialized with
-lax.optimization_barrier. Run: python tools/headpack_probe.py  (real TPU).
+Method: chain-slope timing — per-op time is the slope between two in-graph
+scan-chain lengths, serialized by folding each op's output back into the
+loop carry. Run: python tools/headpack_probe.py  (real TPU).
 """
 
 import time
@@ -33,18 +33,15 @@ def _chain(body_fn, carry_init, c1=1024, c2=16384, reps=5):
     # c1/c2 sizing: these probes are ~1-3 us ops, so the (c2-c1) delta needs
     # tens of thousands of links to rise above the tunnel's ±ms noise
     # (15360 links x ~2 us ≈ 30 ms of chip work); scan keeps compile flat.
-    """body_fn(carry) -> scalar probe; carry is barrier-threaded unchanged so
-    every chain step re-executes the op (same harness as int8_mxu_probe)."""
+    """body_fn(carry) -> next carry, which must DEPEND on the probed op's
+    output (a broadcast add of its first column). The earlier
+    optimization_barrier probe-output harness was DCE'd wholesale — both
+    probes measured 0.0 us."""
 
     def build(chain):
         @jax.jit
         def many(carry):
-            def body(c, _):
-                probe = body_fn(c)
-                nxt, _ = lax.optimization_barrier((c, probe))
-                return nxt, None
-
-            out, _ = lax.scan(body, carry, None, length=chain)
+            out, _ = lax.scan(lambda c, _: (body_fn(c), None), carry, None, length=chain)
             return out
 
         return many
@@ -83,14 +80,16 @@ def main():
 
     dn = (((1,), (1,)), ((), ()))  # contract last dims (q @ k^T)
 
+    eps = jnp.asarray(1e-9, jnp.bfloat16)
+
     def two_heads(c):  # c: (M, 64) loop-carried q
         s1 = lax.dot_general(c, k1, dn, preferred_element_type=jnp.float32)
         s2 = lax.dot_general(c, k2, dn, preferred_element_type=jnp.float32)
-        return s1[0, 0] + s2[0, 0]
+        return c + (s1[:, :1] + s2[:, :1]).astype(jnp.bfloat16) * eps
 
     def packed(c):  # c: (M, 128) loop-carried [q1|q2]
         s = lax.dot_general(c, bt, dn, preferred_element_type=jnp.float32)
-        return s[0, 0]
+        return c + s[:, :1].astype(jnp.bfloat16) * eps
 
     t_two = _chain(two_heads, q1)
     t_packed = _chain(packed, a)
@@ -100,7 +99,7 @@ def main():
 
     def full_depth(c):
         s = lax.dot_general(c, kk, dn, preferred_element_type=jnp.float32)
-        return s[0, 0]
+        return c + s[:, :1].astype(jnp.bfloat16) * eps
 
     t_full = _chain(full_depth, a)
 

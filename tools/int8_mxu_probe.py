@@ -9,9 +9,9 @@ the 2x rate at K=64, an int8-attention serving tier could lift the
 large-resolution ratios. This probe measures the primitive before we invest
 in a kernel.
 
-Method: chain-slope timing (see tools/attn_variants.py) — per-op time is the
-slope between two in-graph scan chain lengths, serialized through
-lax.optimization_barrier so XLA can neither DCE nor overlap iterations.
+Method: chain-slope timing — per-op time is the slope between two in-graph
+scan chain lengths, serialized by folding each matmul's output back into the
+loop carry so XLA can neither DCE nor overlap iterations.
 Run: python tools/int8_mxu_probe.py   (real TPU, ~2 min)
 """
 
@@ -43,7 +43,17 @@ def time_matmul(m, k, n, dtype, acc_dtype, c1=64, c2=640, reps=6):
                 out = lax.dot_general(
                     carry, rhs, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
                 )
-                nxt, _ = lax.optimization_barrier((carry, out[0, 0]))
+                # fold the output's first column back into the carry so every
+                # link DEPENDS on the previous matmul. The earlier
+                # optimization_barrier((carry, out[0,0])) harness did NOT
+                # protect the matmul: the barrier's probe output was unused
+                # and the whole chain was DCE'd (measured "2158 TMAC/s" —
+                # 20x over peak). The broadcast add is one (m, k) VPU pass,
+                # ~1% of the matmul.
+                if dtype == jnp.int8:
+                    nxt = carry ^ (out[:, :1] & 1).astype(jnp.int8)
+                else:
+                    nxt = carry + out[:, :1].astype(dtype) * jnp.asarray(1e-9, dtype)
                 return nxt, None
 
             out, _ = lax.scan(body, lhs, None, length=chain)
