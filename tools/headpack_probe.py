@@ -103,14 +103,41 @@ def main():
 
     t_full = _chain(full_depth, a)
 
+    # int8 K-stacked variant: bf16 packing is MAC-neutral (the block-diagonal
+    # zeros exactly cancel the full-rate gain), but int8's datasheet rate is
+    # 4x the bf16 HALF rate the K=64 contraction is stuck at — if the v5e
+    # delivers it, an int8-QK^T K-stacked kernel wins ~2x on the QK half of
+    # large-N attention even after doubling the MACs.
+    rngi = np.random.default_rng(1)
+    a_i8 = jnp.asarray(rngi.integers(-127, 127, (m, 2 * d), dtype=np.int8))
+    bt_i8 = jnp.asarray(rngi.integers(-127, 127, (2 * n, 2 * d), dtype=np.int8))
+
+    def packed_i8(c):  # c: (M, 128) int8 loop-carried [q1|q2]
+        s = lax.dot_general(c, bt_i8, dn, preferred_element_type=jnp.int32)
+        return c ^ (s[:, :1] & 1).astype(jnp.int8)
+
+    try:
+        t_packed_i8 = _chain(packed_i8, a_i8)
+    except Exception as e:  # noqa: BLE001
+        t_packed_i8 = None
+        print(f"int8 K-stacked probe failed: {type(e).__name__}: {str(e)[:160]}")
+
     print(f"two K=64 QK^T ops   (2 heads separate): {t_two * 1e6:8.1f} us")
     print(f"one K=128 packed    ([S1|S2] block-col): {t_packed * 1e6:8.1f} us")
     print(f"one K=128 same-out  (control, (M,128)x(128,N)): {t_full * 1e6:8.1f} us")
+    if t_packed_i8 is not None:
+        print(f"one K=128 packed INT8 ([S1|S2] block-col): {t_packed_i8 * 1e6:8.1f} us")
     r = t_two / t_packed
     print(
         f"\npacked speedup vs two-head separate: {r:.2f}x "
         f"({'worth a kernel' if r > 1.15 else 'NOT worth a kernel — half-rate padding already optimal'})"
     )
+    if t_packed_i8 is not None:
+        ri = t_two / t_packed_i8
+        print(
+            f"packed-INT8 speedup vs two-head bf16: {ri:.2f}x "
+            f"({'worth an int8-QK kernel' if ri > 1.5 else 'NOT worth an int8-QK kernel'})"
+        )
 
 
 if __name__ == "__main__":
