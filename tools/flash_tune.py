@@ -10,7 +10,6 @@ Run: python tools/flash_tune.py [n ...]
 """
 
 import sys
-import time
 
 import numpy as np
 import jax
@@ -19,48 +18,13 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from muggled_dpt_tpu.ops.pallas.flash_attention import _flash_bhnd_prescaled  # noqa: E402
+from tools.chain_timer import timeit_chain as _timeit_chain  # noqa: E402
 
 
-def timeit_chain(fn, x, reps=4, target_s=0.3, max_links=512):
-    """In-graph chain slope timing (tunnel RTT cancels).
-
-    The chain is a lax.scan whose body feeds fn's output back as input, so
-    iterations serialize on data dependence while compile time stays flat in
-    the chain length. Lengths are adaptive: a short pilot slope estimates the
-    per-op time, then the final two-point measurement is sized so the
-    k2-k1 delta is ~target_s of chip work — the round-3/4 fixed (3, 9) chains
-    put only 6 ops in the delta, which for sub-ms ops was far below the
-    tunnel's ±ms noise floor and produced physically impossible readings
-    (0.06 ms for a 35 GFLOP op)."""
-    from jax import lax
-
-    def build(k):
-        @jax.jit
-        def run(x0):
-            y, _ = lax.scan(lambda c, _: (fn(c), None), x0, None, length=k)
-            return y
-        return run
-
-    def run_best(j, r=reps):
-        best = float("inf")
-        for _ in range(r):
-            t0 = time.perf_counter()
-            np.asarray(j(x)[0, 0, 0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    # pilot: slope between 4 and 12 links (compile + 2 measurements)
-    j4, j12 = build(4), build(12)
-    np.asarray(j4(x)[0, 0, 0]); np.asarray(j12(x)[0, 0, 0])
-    pilot = (run_best(j12, 2) - run_best(j4, 2)) / 8
-    if pilot * 8 >= target_s:
-        return pilot
-    est = max(pilot, run_best(j12, 1) / 12 / 4, 5e-6)  # fallbacks if pilot noisy
-    k2 = min(max_links, max(16, int(target_s / est)))
-    k1 = max(2, k2 // 4)
-    j1, j2 = build(k1), build(k2)
-    np.asarray(j1(x)[0, 0, 0]); np.asarray(j2(x)[0, 0, 0])
-    return (run_best(j2) - run_best(j1)) / (k2 - k1)
+def timeit_chain(fn, x, reps=4, target_s=0.3):
+    """Adaptive in-graph chain-slope timing; see tools/chain_timer.py for the
+    tunnel-floor rationale (shared with headpack_probe / int8_mxu_probe)."""
+    return _timeit_chain(fn, x, reps=reps, target_s=target_s, probe=lambda y: y[0, 0, 0])
 
 
 def main():

@@ -16,49 +16,35 @@ is WORSE than 2x (extra relayout passes, pipeline bubbles). This probe
 measures that primitive before any kernel is built; the decision rule is the
 same as tools/int8_mxu_probe.py.
 
-Method: chain-slope timing — per-op time is the slope between two in-graph
-scan-chain lengths, serialized by folding each op's output back into the
-loop carry. Run: python tools/headpack_probe.py  (real TPU).
+Method: adaptive chain-slope timing (tools/chain_timer.py) — per-op time is
+the slope between two in-graph scan-chain lengths sized so the delta alone
+is ~0.5 s of chip work (the round-4a fixed 16k-link chains produced ~30 ms
+deltas, below the tunnel's dispatch floor, and read 0.0 us), serialized by
+folding each op's output back into the loop carry.
+Run: python tools/headpack_probe.py  (real TPU).
 """
 
-import time
+import os.path as osp
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-def _chain(body_fn, carry_init, c1=1024, c2=16384, reps=5):
-    # c1/c2 sizing: these probes are ~1-3 us ops, so the (c2-c1) delta needs
-    # tens of thousands of links to rise above the tunnel's ±ms noise
-    # (15360 links x ~2 us ≈ 30 ms of chip work); scan keeps compile flat.
-    """body_fn(carry) -> next carry, which must DEPEND on the probed op's
-    output (a broadcast add of its first column). The earlier
-    optimization_barrier probe-output harness was DCE'd wholesale — both
-    probes measured 0.0 us."""
+from tools.chain_timer import V5E_BF16_TMACS, V5E_INT8_TMACS, timeit_chain  # noqa: E402
 
-    def build(chain):
-        @jax.jit
-        def many(carry):
-            out, _ = lax.scan(lambda c, _: (body_fn(c), None), carry, None, length=chain)
-            return out
 
-        return many
+def _chain(body_fn, carry_init):
+    return timeit_chain(body_fn, carry_init)
 
-    f1, f2 = build(c1), build(c2)
-    np.asarray(f1(carry_init).ravel()[0])
-    np.asarray(f2(carry_init).ravel()[0])
 
-    def run(fn):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(carry_init).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return (run(f2) - run(f1)) / (c2 - c1)
+def _fmt(label, t, macs, peak_tmacs):
+    tmacs = macs / t / 1e12 if t > 0 else float("inf")
+    flag = "  << SUSPECT: over peak, measurement failed" if tmacs > 1.2 * peak_tmacs else ""
+    return f"{label}: {t * 1e6:8.1f} us  {tmacs:7.2f} TMAC/s{flag}"
 
 
 def main():
@@ -122,17 +108,23 @@ def main():
         t_packed_i8 = None
         print(f"int8 K-stacked probe failed: {type(e).__name__}: {str(e)[:160]}")
 
-    print(f"two K=64 QK^T ops   (2 heads separate): {t_two * 1e6:8.1f} us")
-    print(f"one K=128 packed    ([S1|S2] block-col): {t_packed * 1e6:8.1f} us")
-    print(f"one K=128 same-out  (control, (M,128)x(128,N)): {t_full * 1e6:8.1f} us")
+    macs_two = 2 * m * d * n  # two (M,64)x(64,N)
+    macs_packed = m * 2 * d * 2 * n  # one (M,128)x(128,2N) incl. zero halves
+    macs_full = m * 2 * d * n
+    print(_fmt("two K=64 QK^T ops   (2 heads separate)", t_two, macs_two, V5E_BF16_TMACS))
+    print(_fmt("one K=128 packed    ([S1|S2] block-col)", t_packed, macs_packed, V5E_BF16_TMACS))
+    print(_fmt("one K=128 same-out  (control         )", t_full, macs_full, V5E_BF16_TMACS))
     if t_packed_i8 is not None:
-        print(f"one K=128 packed INT8 ([S1|S2] block-col): {t_packed_i8 * 1e6:8.1f} us")
+        print(_fmt("one K=128 packed INT8 ([S1|S2] blkcol)", t_packed_i8, macs_packed, V5E_INT8_TMACS))
+    if min(t_two, t_packed, t_full) <= 0:
+        print("\nnegative slope — measurement failed, no verdict")
+        return
     r = t_two / t_packed
     print(
         f"\npacked speedup vs two-head separate: {r:.2f}x "
         f"({'worth a kernel' if r > 1.15 else 'NOT worth a kernel — half-rate padding already optimal'})"
     )
-    if t_packed_i8 is not None:
+    if t_packed_i8 is not None and t_packed_i8 > 0:
         ri = t_two / t_packed_i8
         print(
             f"packed-INT8 speedup vs two-head bf16: {ri:.2f}x "

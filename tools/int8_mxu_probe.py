@@ -9,25 +9,29 @@ the 2x rate at K=64, an int8-attention serving tier could lift the
 large-resolution ratios. This probe measures the primitive before we invest
 in a kernel.
 
-Method: chain-slope timing — per-op time is the slope between two in-graph
-scan chain lengths, serialized by folding each matmul's output back into the
-loop carry so XLA can neither DCE nor overlap iterations.
-Run: python tools/int8_mxu_probe.py   (real TPU, ~2 min)
+Method: adaptive chain-slope timing (tools/chain_timer.py) — per-op time is
+the slope between two in-graph scan chain lengths sized so the delta alone
+is ~0.5 s of chip work, serialized by folding each matmul's output back into
+the loop carry so XLA can neither DCE nor overlap iterations. (The round-4a
+fixed (64, 640) chains put ~25-50 ms in the delta — below the tunnel's
+dispatch floor — and read 2158 TMAC/s, 20x over the bf16 peak.)
+Run: python tools/int8_mxu_probe.py   (real TPU, ~5 min)
 """
 
-import time
+import os.path as osp
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-def time_matmul(m, k, n, dtype, acc_dtype, c1=64, c2=640, reps=6):
-    # c1/c2 sizing: the (c2-c1) delta must be well above the tunnel's ±ms
-    # noise. The original (8, 40) chains put ~32 ops (~1.4 ms for the K=64
-    # cases) in the delta and returned NEGATIVE slopes; 576 ops x ~40 us
-    # is ~25 ms of chip work, comfortably measurable.
+from tools.chain_timer import V5E_BF16_TMACS, V5E_INT8_TMACS, timeit_chain  # noqa: E402
+
+
+def time_matmul(m, k, n, dtype, acc_dtype):
     rng = np.random.default_rng(0)
     if dtype == jnp.int8:
         lhs = jnp.asarray(rng.integers(-127, 127, (m, k), dtype=np.int8))
@@ -36,44 +40,19 @@ def time_matmul(m, k, n, dtype, acc_dtype, c1=64, c2=640, reps=6):
         lhs = jnp.asarray(rng.standard_normal((m, k)), dtype)
         rhs = jnp.asarray(rng.standard_normal((k, n)), dtype)
 
-    def build(chain):
-        @jax.jit
-        def many(lhs, rhs):
-            def body(carry, _):
-                out = lax.dot_general(
-                    carry, rhs, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
-                )
-                # fold the output's first column back into the carry so every
-                # link DEPENDS on the previous matmul. The earlier
-                # optimization_barrier((carry, out[0,0])) harness did NOT
-                # protect the matmul: the barrier's probe output was unused
-                # and the whole chain was DCE'd (measured "2158 TMAC/s" —
-                # 20x over peak). The broadcast add is one (m, k) VPU pass,
-                # ~1% of the matmul.
-                if dtype == jnp.int8:
-                    nxt = carry ^ (out[:, :1] & 1).astype(jnp.int8)
-                else:
-                    nxt = carry + out[:, :1].astype(dtype) * jnp.asarray(1e-9, dtype)
-                return nxt, None
+    def body(carry):
+        out = lax.dot_general(
+            carry, rhs, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
+        )
+        # fold the output's first column back into the carry so every link
+        # DEPENDS on the previous matmul (an unused-probe harness was DCE'd
+        # wholesale). The broadcast op is one (m, k) VPU pass, ~1% of the
+        # matmul.
+        if dtype == jnp.int8:
+            return carry ^ (out[:, :1] & 1).astype(jnp.int8)
+        return carry + out[:, :1].astype(dtype) * jnp.asarray(1e-9, dtype)
 
-            out, _ = lax.scan(body, lhs, None, length=chain)
-            return out
-
-        return many
-
-    f1, f2 = build(c1), build(c2)
-    np.asarray(f1(lhs, rhs).ravel()[0])
-    np.asarray(f2(lhs, rhs).ravel()[0])
-
-    def run(fn):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(lhs, rhs).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_op = (run(f2) - run(f1)) / (c2 - c1)
+    per_op = timeit_chain(body, lhs)
     macs = m * k * n
     return per_op, macs / per_op / 1e12
 
@@ -96,10 +75,14 @@ def main():
     for label, m, k, n, dt, acc in cases:
         try:
             per_op, tmacs = time_matmul(m, k, n, dt, acc)
-            results[label] = (per_op, tmacs)
-            print(f"{label}: {per_op*1e6:9.1f} us  {tmacs:7.2f} TMAC/s")
+            peak = V5E_INT8_TMACS if dt == jnp.int8 else V5E_BF16_TMACS
+            suspect = tmacs > 1.2 * peak or per_op <= 0
+            if not suspect:
+                results[label] = (per_op, tmacs)
+            flag = "  << SUSPECT: over peak / negative, measurement failed" if suspect else ""
+            print(f"{label}: {per_op*1e6:9.1f} us  {tmacs:7.2f} TMAC/s{flag}", flush=True)
         except Exception as e:  # int8 dot may not lower on all backends
-            print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
+            print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}", flush=True)
 
     qk_bf, qk_i8 = results.get("QK^T  bf16 K=64 "), results.get("QK^T  int8 K=64 ")
     if qk_bf and qk_i8:

@@ -16,5 +16,6 @@ step headpack     900  python tools/headpack_probe.py
 step int8_probe   1200 python tools/int8_mxu_probe.py
 step families     1200 python tools/bench_families.py
 step profile_1428 1500 python tools/profile_split.py 1428
+step unroll_knee  2400 python tools/scan_unroll_curve.py --ks 1 6 full --interleave 3
 
 echo "=== done $(date). Fold into docs/performance.md + ROUND4_NOTES.md." | tee -a "$OUT/summary.log"

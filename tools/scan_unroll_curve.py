@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--ks", nargs="*", default=["1", "2", "3", "6", "full"])
     ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--size", type=int, default=518)
+    ap.add_argument(
+        "--interleave", type=int, default=0, metavar="R",
+        help="compile every k first, then measure fps in R alternating rounds "
+        "and report the per-k median — rows measured minutes apart carry "
+        "tunnel-bandwidth drift (the round-4a sequential pass read full-unroll "
+        "at 81 fps minutes after bench.py read the same mode at 94)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -44,7 +51,8 @@ def main():
     rng = np.random.default_rng(0)
     image_bgr = rng.integers(0, 256, size=(720, 1280, 3), dtype=np.uint8)
 
-    rows = []
+    frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
+    runners, compile_secs = {}, {}
     for kstr in args.ks:
         unroll = True if kstr == "full" else int(kstr)
         if unroll == 1:
@@ -56,15 +64,34 @@ def main():
             unroll_blocks=unroll, dtype=jnp.bfloat16,
         )
         scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], args.size, True)
-        frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
-        run_one = lambda: model.inference_rgb_device(frame_dev, scaled_hw)
+        run_one = (lambda m, hw: lambda: m.inference_rgb_device(frame_dev, hw))(model, scaled_hw)
 
         t0 = time.perf_counter()
         np.asarray(run_one())  # trace + compile + first run, full readback
-        compile_s = time.perf_counter() - t0
-        fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters)
-        rows.append({"unroll": kstr, "compile_s": round(compile_s, 1), "fps": round(fps, 2)})
-        print(f"unroll={kstr:>4s}: compile {compile_s:6.1f} s   {fps:6.2f} fps", flush=True)
+        compile_secs[kstr] = time.perf_counter() - t0
+        runners[kstr] = run_one
+
+    rows = []
+    if args.interleave:
+        # alternating rounds: every k is measured within the same drift window
+        samples = {k: [] for k in args.ks}
+        for r in range(args.interleave):
+            for kstr in args.ks:
+                fps = chip_fps(runners[kstr], probe=lambda d: d[0, 0, 0], iters=args.iters)
+                samples[kstr].append(round(fps, 2))
+                print(f"round {r}: unroll={kstr:>4s}  {fps:6.2f} fps", flush=True)
+        for kstr in args.ks:
+            rows.append({
+                "unroll": kstr, "compile_s": round(compile_secs[kstr], 1),
+                "fps": float(np.median(samples[kstr])), "fps_rounds": samples[kstr],
+            })
+            print(f"unroll={kstr:>4s}: compile {compile_secs[kstr]:6.1f} s   "
+                  f"median {rows[-1]['fps']:6.2f} fps  rounds {samples[kstr]}", flush=True)
+    else:
+        for kstr in args.ks:
+            fps = chip_fps(runners[kstr], probe=lambda d: d[0, 0, 0], iters=args.iters)
+            rows.append({"unroll": kstr, "compile_s": round(compile_secs[kstr], 1), "fps": round(fps, 2)})
+            print(f"unroll={kstr:>4s}: compile {compile_secs[kstr]:6.1f} s   {fps:6.2f} fps", flush=True)
 
     print(json.dumps({"metric": "scan_unroll_curve @504^2 ViT-L bf16", "rows": rows}))
 
