@@ -68,14 +68,22 @@ def main():
 
     eps = jnp.asarray(1e-9, jnp.bfloat16)
 
+    # Folds consume the ENTIRE logit tile via a max-reduction: a column-slice
+    # fold invites XLA's slice-through-dot narrowing and a sum fold is
+    # algebraically movable into the operands; max commutes with neither, and
+    # fuses as the dot's epilogue. Note both real candidates write the same
+    # 2MN logits (two (M,N) tiles vs one (M,2N)), so output traffic cancels
+    # in the comparison.
+
     def two_heads(c):  # c: (M, 64) loop-carried q
         s1 = lax.dot_general(c, k1, dn, preferred_element_type=jnp.float32)
         s2 = lax.dot_general(c, k2, dn, preferred_element_type=jnp.float32)
-        return c + (s1[:, :1] + s2[:, :1]).astype(jnp.bfloat16) * eps
+        red = jnp.maximum(s1.max(axis=1), s2.max(axis=1))[:, None]
+        return c + red.astype(jnp.bfloat16) * eps
 
     def packed(c):  # c: (M, 128) loop-carried [q1|q2]
         s = lax.dot_general(c, bt, dn, preferred_element_type=jnp.float32)
-        return c + s[:, :1].astype(jnp.bfloat16) * eps
+        return c + s.max(axis=1)[:, None].astype(jnp.bfloat16) * eps
 
     t_two = _chain(two_heads, q1)
     t_packed = _chain(packed, a)
@@ -85,7 +93,7 @@ def main():
 
     def full_depth(c):
         s = lax.dot_general(c, kk, dn, preferred_element_type=jnp.float32)
-        return c + s[:, :1].astype(jnp.bfloat16) * eps
+        return c + s.max(axis=1)[:, None].astype(jnp.bfloat16) * eps
 
     t_full = _chain(full_depth, a)
 
@@ -100,7 +108,7 @@ def main():
 
     def packed_i8(c):  # c: (M, 128) int8 loop-carried [q1|q2]
         s = lax.dot_general(c, bt_i8, dn, preferred_element_type=jnp.int32)
-        return c ^ (s[:, :1] & 1).astype(jnp.int8)
+        return c ^ (s.max(axis=1)[:, None] & 1).astype(jnp.int8)
 
     try:
         t_packed_i8 = _chain(packed_i8, a_i8)

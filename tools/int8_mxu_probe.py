@@ -44,13 +44,18 @@ def time_matmul(m, k, n, dtype, acc_dtype):
         out = lax.dot_general(
             carry, rhs, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
         )
-        # fold the output's first column back into the carry so every link
-        # DEPENDS on the previous matmul (an unused-probe harness was DCE'd
-        # wholesale). The broadcast op is one (m, k) VPU pass, ~1% of the
-        # matmul.
+        # Fold a max-reduction of the ENTIRE output back into the carry.
+        # Every link then depends on every output element, so XLA can neither
+        # DCE the matmul (an unused-probe harness was DCE'd wholesale) nor
+        # narrow it: a column-slice fold invites the slice-through-dot
+        # rewrite dot(c, rhs)[:, :1] -> dot(c, rhs[:, :1]) (the round-4a int8
+        # rows read 3704 TMAC/s, 19x peak, while bf16 rows were sane), and a
+        # sum fold is algebraically movable (reduce(dot) -> dot(reduce));
+        # max commutes with neither. The reduce fuses as a dot epilogue.
+        red = out.max(axis=1)[:, None]
         if dtype == jnp.int8:
-            return carry ^ (out[:, :1] & 1).astype(jnp.int8)
-        return carry + out[:, :1].astype(dtype) * jnp.asarray(1e-9, dtype)
+            return carry ^ (red & 1).astype(jnp.int8)
+        return carry + red.astype(dtype) * jnp.asarray(1e-9, dtype)
 
     per_op = timeit_chain(body, lhs)
     macs = m * k * n
@@ -60,17 +65,20 @@ def time_matmul(m, k, n, dtype, acc_dtype):
 def main():
     print(f"devices: {jax.devices()}")
     cases = [
-        # attention QK^T shape class: contraction 64
+        # attention QK^T shape class: contraction 64 (output-traffic heavy —
+        # the K-ladder below isolates the MXU component)
         ("QK^T  bf16 K=64 ", 8192, 64, 8192, jnp.bfloat16, jnp.float32),
         ("QK^T  int8 K=64 ", 8192, 64, 8192, jnp.int8, jnp.int32),
         # PV shape class: deep contraction, 64-wide output
         ("PV    bf16 out64", 8192, 8192, 64, jnp.bfloat16, jnp.float32),
         ("PV    int8 out64", 8192, 8192, 64, jnp.int8, jnp.int32),
-        # control: square, full-depth — the MXU peak for each dtype
-        ("ctrl  bf16 K=512", 4096, 512, 4096, jnp.bfloat16, jnp.float32),
-        ("ctrl  int8 K=512", 4096, 512, 4096, jnp.int8, jnp.int32),
-        ("ctrl  int8 K=256", 4096, 256, 4096, jnp.int8, jnp.int32),
+        # K-ladder at fixed M=N: output traffic is constant across rows, so
+        # the time-vs-K slope is the pure MXU rate per dtype and the K=64
+        # intercept exposes any fixed half-rate/relayout penalty
     ]
+    for dt, acc, name in ((jnp.bfloat16, jnp.float32, "bf16"), (jnp.int8, jnp.int32, "int8")):
+        for kk in (64, 128, 256, 512):
+            cases.append((f"ladder {name} K={kk}", 4096, kk, 4096, dt, acc))
     results = {}
     for label, m, k, n, dt, acc in cases:
         try:
@@ -92,6 +100,21 @@ def main():
     pv_bf, pv_i8 = results.get("PV    bf16 out64"), results.get("PV    int8 out64")
     if pv_bf and pv_i8:
         print(f"int8 PV   speedup at out=64: {pv_bf[0] / pv_i8[0]:.2f}x")
+
+    # K-ladder: least-squares time-vs-K slope at fixed M=N=4096 — output
+    # traffic cancels, leaving the per-dtype MXU rate; the K=64 intercept
+    # shows the fixed per-op cost the contraction depth can't amortize.
+    for name in ("bf16", "int8"):
+        pts = [(kk, results[f"ladder {name} K={kk}"][0])
+               for kk in (64, 128, 256, 512) if f"ladder {name} K={kk}" in results]
+        if len(pts) >= 3:
+            ks = np.array([p[0] for p in pts], np.float64)
+            ts = np.array([p[1] for p in pts], np.float64)
+            slope, intercept = np.polyfit(ks, ts, 1)
+            if slope > 0:
+                rate = 4096 * 4096 / slope / 1e12  # MACs per unit K / s
+                print(f"ladder {name}: MXU rate from K-slope {rate:7.2f} TMAC/s, "
+                      f"fixed per-op cost {intercept*1e6:6.1f} us")
 
 
 if __name__ == "__main__":
