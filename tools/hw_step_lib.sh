@@ -14,7 +14,10 @@ set -u
 WAIT_RETRIES=${WAIT_RETRIES:-10}
 
 probe_backend() {
-  timeout 90 python -c "import jax, numpy as np, jax.numpy as jnp; x=jnp.ones((4,)); assert float(np.asarray(x.sum()))==4.0" >/dev/null 2>&1
+  # --kill-after matters: a probe wedged in axon device init ignores SIGTERM
+  # (stuck in C code), and plain `timeout` waits forever after TERM — the
+  # whole cooldown loop then hangs on one probe.
+  timeout --kill-after=15 90 python -c "import jax, numpy as np, jax.numpy as jnp; x=jnp.ones((4,)); assert float(np.asarray(x.sum()))==4.0" >/dev/null 2>&1
 }
 
 wait_for_backend() {
