@@ -122,11 +122,21 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, exp2_domain=False, bi
         o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None):
+def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None, block_q=None):
     """One-pass attention reading `hpp` heads' fused (N_pad, hpp*3D) q|k|v
     slab directly from the projection output — no host-side transposes. The
     unrolled per-head chains are independent, so Mosaic can overlap one
-    head's softmax (VPU) with the next head's logit matmul (MXU)."""
+    head's softmax (VPU) with the next head's logit matmul (MXU) — the plain
+    _onepass_kernel serializes QK (MXU) -> softmax (VPU) -> PV (MXU) within
+    each program, so this overlap is the fused path's second win beyond the
+    transpose removal.
+
+    block_q: when set, the kernel is q-blocked — grid axis 2 picks a
+    block_q-row q slice out of the (whole-N) resident slab, bounding the f32
+    logit tiles at hpp*block_q*N_pad*4 B so the fused path serves every
+    one-pass N instead of stopping at the whole-N VMEM ceiling (~n_pad 3600).
+    The slab's BlockSpec ignores the q-grid index, so Mosaic keeps it
+    resident across consecutive q-programs (revisit caching)."""
     slab = qkv_ref[0]
     kv_pad = slab.shape[0]
     # bias-free heads run in exp2 domain (log2(e) folds into the q scale for
@@ -141,9 +151,13 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None)
         # full-tile compare+select (see _onepass_kernel)
         col = lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
         mask_row = jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+    qsrc = slab
+    if block_q is not None:
+        assert bias_ref is None, "q-blocked fused path is unbiased-only (see fused_qkv_supported)"
+        qsrc = lax.dynamic_slice_in_dim(slab, pl.program_id(2) * block_q, block_q, axis=0)
     for j in range(hpp):
         base = j * 3 * d
-        q = (slab[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
+        q = (qsrc[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
         k = slab[:, base + d : base + 2 * d]
         v = slab[:, base + 2 * d : base + 3 * d]
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -195,10 +209,14 @@ _FUSED_VMEM_BUDGET = 120 * 1024 * 1024  # under the ~128 MB physical VMEM
 def fused_qkv_supported(
     n: int, num_heads: int, d: int, max_kv: int | None = None, biased: bool = False
 ) -> bool:
-    """One-pass regime + a head grouping that satisfies lane alignment + the
-    kernel's own VMEM budget (the whole-N logit tiles grow quadratically, so
-    past ~n_pad 3600 unbiased / ~2500 biased the (B,N,H,D) wrapper must serve
-    instead even inside the cutover).
+    """One-pass regime + a head grouping that satisfies lane alignment (+ for
+    BIASED callers, the whole-N VMEM budget — the biased kernel is not
+    q-blocked because per-q-block bias DMA from a cached stack would need
+    block_q | n_pad, which BEiT grids don't satisfy).
+
+    Unbiased callers are VMEM-feasible at EVERY one-pass N: past the whole-N
+    logit ceiling (~n_pad 3600) the kernel q-blocks itself, bounding the f32
+    logit tiles while the qkv slab stays resident across q-programs.
 
     max_kv overrides the serving cutoff (ONE_PASS_MAX_KV) — the kernel itself
     is VMEM-feasible somewhat past it (see flash_attention_fused_qkv's budget
@@ -210,11 +228,11 @@ def fused_qkv_supported(
     hpp = _heads_per_program(num_heads, d)
     if hpp is None:
         return False
-    return _fused_vmem_need_bytes(n_pad, hpp, biased) <= _FUSED_VMEM_BUDGET
+    return (not biased) or _fused_vmem_need_bytes(n_pad, hpp, True) <= _FUSED_VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
-def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=False, bias_stack=None, layer=None):
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret", "block_q"))
+def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=False, bias_stack=None, layer=None, block_q=None):
     """Flash attention straight off the fused qkv projection output.
 
     qkv: (B, N, 3C) with columns in head-major [head][q|k|v][dim] order
@@ -230,7 +248,13 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     scalar-prefetch index_map to DMA its (hpp, n_pad, n_pad) bias blocks
     straight from the stack at the layer offset — no per-layer dynamic-slice
     copy on the scan path (which costs ~42 MB of extra HBM round-trip per
-    layer at L-512)."""
+    layer at L-512).
+
+    block_q: optional q-block rows for the UNBIASED path (multiple of 128).
+    None auto-picks: whole-N while the hpp f32 logit tiles fit VMEM, else
+    q-blocked (see _onepass_qkv_kernel) — which extends the fused path to
+    every one-pass N. Biased calls are whole-N only (fused_qkv_supported
+    gates them)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -241,25 +265,56 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
         "fused-qkv path needs a head grouping satisfying the 128-lane rule; use flash_attention"
     )
     # Feasibility here is a VMEM question, not the serving cutoff: the hpp
-    # unrolled (n_pad, n_pad) f32 logit tiles (plus qkv/out slabs) must fit
-    # the ~128 MB physical VMEM. ops/nn.py gates the serving dispatch at
-    # ONE_PASS_MAX_KV; direct callers past it (the cutover sweep) are fine
-    # as long as this budget holds.
-    base_logit_bytes = hpp * n_pad * n_pad * 4
-    assert _fused_vmem_need_bytes(n_pad, hpp, False) <= _FUSED_VMEM_BUDGET, (
+    # unrolled (BQ, n_pad) f32 logit tiles (plus qkv/out slabs) must fit the
+    # ~128 MB physical VMEM. Whole-N q-blocks (BQ = n_pad) are fastest while
+    # they fit; past that ceiling the UNBIASED kernel q-blocks itself (the
+    # slab stays whole-N resident — only the q slice and logit tiles shrink).
+    # ops/nn.py gates the serving dispatch at ONE_PASS_MAX_KV; direct callers
+    # past it (the cutover sweep) are fine as long as this budget holds.
+    biased_call = bias is not None or bias_stack is not None
+    q_blocked = not biased_call and (
+        block_q is not None or _fused_vmem_need_bytes(n_pad, hpp, False) > _FUSED_VMEM_BUDGET
+    )
+    n_pad_q = n_pad
+    if q_blocked:
+        if block_q is None:
+            # largest 128-multiple whose hpp logit tiles stay ~2x the plain
+            # kernel's per-tile budget (the hpp chains pipeline MXU/VPU, so
+            # the doubled tile budget buys overlap, not waste), floored like
+            # the plain kernel; prefer candidates minimizing dead padded rows
+            cap = max(
+                ONE_PASS_MIN_BLOCK_Q,
+                2 * ONE_PASS_LOGIT_BYTES // (hpp * n_pad * 4) // 128 * 128,
+            )
+            cap = min(cap, n_pad)
+            # prefer less dead q padding among candidates >= 512 rows (the
+            # plain one-pass picker's rule: below 512 the per-dot fixed cost
+            # dominates; the 256 floor is reached only via the cap itself)
+            block_q, best_pad = cap, _round_up(n_pad, cap)
+            for cand in range(cap, 511, -128):
+                padded = _round_up(n_pad, cand)
+                if padded < best_pad:
+                    block_q, best_pad = cand, padded
+        block_q = min(block_q, n_pad)
+        n_pad_q = _round_up(n_pad, block_q)
+    base_logit_bytes = hpp * (block_q if q_blocked else n_pad_q) * n_pad_q * 4
+    assert q_blocked or _fused_vmem_need_bytes(n_pad, hpp, False) <= _FUSED_VMEM_BUDGET, (
         f"fused-qkv one-pass needs ~{(base_logit_bytes >> 20) + 16} MB VMEM at "
         f"n_pad={n_pad}, hpp={hpp} (over the 128 MB physical budget); use flash_attention"
     )
 
-    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
-    grid = (b, num_heads // hpp)
-    qkv_spec = pl.BlockSpec((1, n_pad, 3 * d * hpp), lambda bi, gi, *_: (bi, 0, gi))
-    out_spec = pl.BlockSpec((1, n_pad, d * hpp), lambda bi, gi, *_: (bi, 0, gi))
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    grid = (b, num_heads // hpp) + ((n_pad_q // block_q,) if q_blocked else ())
+    qkv_spec = pl.BlockSpec((1, n_pad_q, 3 * d * hpp), lambda bi, gi, *_: (bi, 0, gi))
+    if q_blocked:
+        out_spec = pl.BlockSpec((1, block_q, d * hpp), lambda bi, gi, qi: (bi, qi, gi))
+    else:
+        out_spec = pl.BlockSpec((1, n_pad_q, d * hpp), lambda bi, gi, *_: (bi, 0, gi))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
-        # the hpp unrolled (N_pad, N_pad) f32 logit tiles exceed the default
-        # 16 MB scoped-vmem budget; scale the limit with the actual tile need
-        # (past-cutoff callers reach ~90 MB) while staying under the 128 MB
+        # the hpp unrolled logit tiles exceed the default 16 MB scoped-vmem
+        # budget; scale the limit with the actual tile need (whole-N
+        # past-cutoff callers reach ~90 MB) while staying under the 128 MB
         # physical VMEM
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=max(100 * 1024 * 1024, base_logit_bytes + 16 * 1024 * 1024)
@@ -326,7 +381,10 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
 
     in_specs = [qkv_spec]
     args = [qkvp]
-    kernel = functools.partial(_onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp)
+    kernel = functools.partial(
+        _onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp,
+        block_q=block_q if q_blocked else None,
+    )
     if bias is not None:
         bp = jnp.broadcast_to(_fit_bias(bias, n_pad, n_pad, n, n), (b, num_heads, n_pad, n_pad))
         in_specs.append(pl.BlockSpec((1, hpp, n_pad, n_pad), lambda bi, gi: (bi, gi, 0, 0)))

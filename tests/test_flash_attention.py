@@ -283,20 +283,21 @@ def test_fused_qkv_past_cutoff_matches_naive():
     n, h, d = 2917, 2, 64
     assert not fused_qkv_supported(n, h, d, max_kv=2048)  # old gate refused
     assert fused_qkv_supported(n, h, d, max_kv=4096)      # explicit override allows
-    # VMEM feasibility is part of the gate: at n=4097 (n_pad 4224) the hpp=2
-    # unrolled f32 logit tiles alone exceed the budget — the serving dispatch
-    # must fall back to the (B,N,H,D) wrapper instead of tripping the kernel's
-    # assert (the round-3 sweep hit exactly this AssertionError)
-    assert not fused_qkv_supported(4097, h, d, max_kv=100_000)
-    # a biased call doubles the VMEM need (double-buffered bias blocks): shapes
-    # that fit unbiased can exceed the budget biased
+    # UNBIASED calls are VMEM-feasible at every one-pass N since the round-4c
+    # q-blocking: past the whole-N logit ceiling (~n_pad 3600) the kernel
+    # shrinks its q block instead of refusing
+    assert fused_qkv_supported(4097, h, d, max_kv=100_000)
+    # a biased call has no q-blocked fallback (per-q-block bias DMA from a
+    # cached stack needs block_q | n_pad): shapes that fit unbiased can
+    # exceed the whole-N budget biased
     assert fused_qkv_supported(2917, h, d, max_kv=100_000, biased=False)
     assert not fused_qkv_supported(2917, h, d, max_kv=100_000, biased=True)
-    # production serving expectations at the round-4 cutover (ViT-L H=16 D=64):
-    # 756-px (N=2917) serves fused; 1036-px (N=5477) falls to the (B,N,H,D)
-    # one-pass wrapper on VMEM; BEiT-L @512 (N=1025, biased) stays fused
+    # production serving expectations (ViT-L H=16 D=64): every DA ladder size
+    # serves fused (756-px N=2917 whole-N, 1036-px N=5477 q-blocked);
+    # BEiT-L @512 (N=1025, biased) stays fused whole-N
     assert fused_qkv_supported(2917, 16, 64)
-    assert not fused_qkv_supported(5477, 16, 64)
+    assert fused_qkv_supported(5477, 16, 64)
+    assert fused_qkv_supported(18497, 16, 64)
     assert fused_qkv_supported(1025, 16, 64, biased=True)
     rng = np.random.default_rng(1)
     b = 1
@@ -309,5 +310,27 @@ def test_fused_qkv_past_cutoff_matches_naive():
     ref = np.asarray(_naive(q, k, v))
     got = np.asarray(
         flash_attention_fused_qkv(qkv, h, interpret=True).reshape(b, n, h, d)
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("n,block_q", [(700, 256), (500, 384), (640, 640)])
+def test_fused_qkv_q_blocked_matches_naive(n, block_q):
+    """The round-4c q-blocked fused path (forced via block_q) vs explicit
+    softmax attention — including a block that does NOT divide n_pad
+    (n=500 -> n_pad 512, block 384 -> slab padded to 768 rows), which
+    exercises the extra zero q/k rows + pad-column masking together."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+
+    rng = np.random.default_rng(11)
+    b, h, d = 2, 2, 64  # hpp=2 at d=64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    qkv = jnp.stack([q, k, v], axis=3).reshape(b, n, 3 * h * d)
+
+    ref = np.asarray(_naive(q, k, v))
+    got = np.asarray(
+        flash_attention_fused_qkv(qkv, h, interpret=True, block_q=block_q).reshape(b, n, h, d)
     )
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)

@@ -89,22 +89,26 @@ def main():
                 print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
                 print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
-        if n <= 4100:
-            # fused-qkv one-pass (the actual DA serving path): reads the
-            # head-major qkv projection output directly, hpp heads/program
-            from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+        # fused-qkv one-pass (the actual DA serving path): reads the
+        # head-major qkv projection output directly, hpp heads/program;
+        # q-blocked automatically past the whole-N VMEM ceiling (round-4c),
+        # so probe it at every N, plus forced q-block sizes
+        from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
 
-            qkv = jnp.asarray(rng.standard_normal((1, n, 3 * h * d)), jnp.bfloat16)
+        qkv = jnp.asarray(rng.standard_normal((1, n, 3 * h * d)), jnp.bfloat16)
 
-            def fused_fn(x):
-                o = flash_attention_fused_qkv(x, h)
+        def make_fused_fn(fbq):
+            def fn(x):
+                o = flash_attention_fused_qkv(x, h, block_q=fbq)
                 return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
+            return fn
 
+        for fbq in (None, 256, 512, 1024):
             try:
-                t = timeit_chain(fused_fn, qkv)
-                print(f"  fused-qkv one-pass            {t*1e3:8.2f} ms")
+                t = timeit_chain(make_fused_fn(fbq), qkv)
+                print(f"  fused-qkv one-pass bq={str(fbq):<5}   {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
-                print(f"  fused-qkv one-pass            failed: {type(e).__name__}")
+                print(f"  fused-qkv one-pass bq={str(fbq):<5}   failed: {type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

@@ -17,15 +17,23 @@ import jax.numpy as jnp
 
 
 def timeit_queue(fn, k1=10, k2=40, reps=5):
-    outs = [fn() for _ in range(3)]
-    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[0])
+    # keep ONLY the newest output alive: holding all k queued results pins
+    # k copies of the stage output in HBM (at 1428^2 the 40-deep encoder-
+    # prefix rows alone exceed the chip's memory — RESOURCE_EXHAUSTED),
+    # while dropping the reference frees each buffer as the queue drains
+    last = None
+    for _ in range(3):
+        last = fn()
+    np.asarray(jax.tree_util.tree_leaves(last)[0].ravel()[0])
 
     def run(k):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            outs = [fn() for _ in range(k)]
-            np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[0])
+            last = None
+            for _ in range(k):
+                last = fn()
+            np.asarray(jax.tree_util.tree_leaves(last)[0].ravel()[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
