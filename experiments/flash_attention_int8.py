@@ -149,3 +149,149 @@ def flash_attention_int8_qk(q, k, v, scale=None, block_q=1024, block_k=1024, int
         **kwargs,
     )(q_i8, k_i8, vp, ap)
     return out[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Round-4c: ONE-PASS int8-QK^T in the fused-slab layout.
+#
+# Two findings changed the design after the online variant above:
+# * the serving cutover moved to one-pass at every DPT N (ops/pallas/
+#   flash_attention.py:ONE_PASS_MAX_KV, round-4 sweep), so an int8 online
+#   kernel no longer matches the production dispatch;
+# * the online variant's (1, block_q, 64) int8 q/k REFS fail Mosaic lowering
+#   (int8 min tile (32, 128) — the block minor dim is 64). Packing each
+#   head's q|k side by side in one (N_pad, hpp*2D) slab keeps every ref's
+#   minor dim at >=256 lanes; the 64-wide per-head slices happen on VALUES
+#   inside the kernel, which Mosaic relayouts instead of refusing.
+#
+# The MXU case for int8 logits (tools/int8_mxu_probe.py, round-4c sane
+# measurements): int8 K-slope 204.9 TMAC/s vs bf16 97.9 (a true 2x), and at
+# the attention QK^T shape class int8 is 1.74x faster. PV stays bf16 — the
+# probe's 4.73x int8 PV number is HBM-bound shape artifact, and quantizing p
+# in-kernel would add VPU passes where the kernel is VPU-tight.
+# ---------------------------------------------------------------------------
+
+
+def _onepass_i8qk_kernel(qk_ref, v_ref, a_ref, o_ref, *, kv_len, d, hpp, block_q):
+    """One-pass attention with int8 QK^T logits in the fused-slab layout.
+
+    qk_ref: (1, N_pad, hpp*2D) int8, columns [head][q|k][dim]; q rows are
+    pre-scaled by softmax_scale*log2(e)/sq_row before quantization.
+    v_ref: (1, N_pad, hpp*D) storage-dtype v slab, [head][dim] columns.
+    a_ref: (1, hpp, BQ) f32 alpha rows = sq_row * sk_head (the exp2-domain
+    softmax scale already rode into q before quantization).
+    Mirrors _onepass_qkv_kernel's structure (muggled_dpt_tpu/ops/pallas/
+    flash_attention.py): independent per-head chains for MXU/VPU overlap,
+    (1, KV_pad) additive pad mask, fused softmax row-sum in the PV matmul's
+    padded 128-lane output group."""
+    qk = qk_ref[0]
+    vs = v_ref[0]
+    kv_pad = qk.shape[0]
+    mask_row = None
+    if kv_len < kv_pad:
+        col = lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        mask_row = jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+    qsrc = qk
+    if block_q is not None:
+        qsrc = lax.dynamic_slice_in_dim(qk, pl.program_id(2) * block_q, block_q, axis=0)
+    for j in range(hpp):
+        base = j * 2 * d
+        q = qsrc[:, base : base + d]  # (BQ, D) int8
+        k = qk[:, base + d : base + 2 * d]  # (KV_pad, D) int8
+        v = vs[:, j * d : (j + 1) * d]
+        s_i32 = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        s = s_i32.astype(jnp.float32) * a_ref[0, j].reshape(-1, 1)
+        if mask_row is not None:
+            s = s + mask_row
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        ext = _round_up(d + 1, 128)
+        v_ext = jnp.concatenate([v, jnp.ones((v.shape[0], ext - d), v.dtype)], axis=1)
+        of = lax.dot_general(
+            p.astype(v.dtype), v_ext, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o = of[:, :d] / jnp.maximum(of[:, d : d + 1], 1e-30)
+        o_ref[0, :, j * d : (j + 1) * d] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q", "interpret"))
+def flash_attention_int8_qk_fused(qkv, num_heads, scale=None, block_q=None, interpret=False):
+    """One-pass int8-QK^T attention off the head-major fused qkv projection.
+
+    qkv: (B, N, 3C), columns [head][q|k|v][dim] (the production layout,
+    checkpoints/convert_common.py:qkv_head_major). Returns (B, N, C).
+
+    XLA side (fuses with the qkv projection epilogue): q rows fold in
+    softmax_scale*log2(e), then quantize per ROW (sq = max|q_row|/127); k
+    quantizes per (batch, head) tensor. alpha = sq_row * sk_head rides as
+    (B, H, N_pad) f32 rows. v stays in the storage dtype.
+
+    Error class: per-row int8 logits carry ~0.5-1% relative error — the same
+    order as bf16's own 8-bit-mantissa rounding of q/k — but this is gated
+    into the OPT-IN int8 tier only (ops/quant.py) pending the tier-gate
+    re-measurement; see module docstring."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d % 128 != 0, "int8 experiment assumes the fused-l layout (D=64 class)"
+    scale = (d ** -0.5) if scale is None else scale
+    hpp = None
+    for cand in (1, 2, 4, 8):
+        if num_heads % cand == 0 and (2 * d * cand) % 128 == 0 and (d * cand) % 128 == 0:
+            hpp = cand
+            break
+    assert hpp is not None, "no head grouping satisfies the 128-lane rule"
+
+    n_pad = _round_up(n, 128)
+    if block_q is None:
+        limit = 2 * 16 * 1024 * 1024  # logit budget, as the bf16 fused picker
+        cap = max(256, limit // (hpp * n_pad * 4) // 128 * 128)
+        cap = min(cap, n_pad)
+        block_q, best_pad = cap, _round_up(n_pad, cap)
+        for cand in range(cap, 511, -128):
+            padded = _round_up(n_pad, cand)
+            if padded < best_pad:
+                block_q, best_pad = cand, padded
+    block_q = min(block_q, n_pad)
+    n_pad_q = _round_up(n_pad, block_q)
+
+    hm = qkv.reshape(b, n, num_heads, 3, d)
+    qf = hm[..., 0, :].astype(jnp.float32) * (scale * LOG2E)  # (B, N, H, D)
+    kf = hm[..., 1, :].astype(jnp.float32)
+    v = hm[..., 2, :]
+    sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=3), 1e-12) / 127.0  # (B, N, H)
+    sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 3)), 1e-12) / 127.0  # (B, H)
+    q_i8 = jnp.round(qf / sq[..., None]).astype(jnp.int8)
+    k_i8 = jnp.round(kf / sk[:, None, :, None]).astype(jnp.int8)
+    alpha = (sq * sk[:, None, :]).transpose(0, 2, 1)  # (B, H, N)
+
+    qk_slab = jnp.stack([q_i8, k_i8], axis=3).reshape(b, n, 2 * c)  # [h][q|k][d]
+    v_slab = v.reshape(b, n, c)
+    qk_slab = jnp.pad(qk_slab, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    v_slab = jnp.pad(v_slab, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    ap = jnp.pad(alpha, ((0, 0), (0, 0), (0, n_pad_q - n))).astype(jnp.float32)
+
+    grid = (b, num_heads // hpp, n_pad_q // block_q)
+    kernel = functools.partial(
+        _onepass_i8qk_kernel, kv_len=n, d=d, hpp=hpp,
+        block_q=block_q if n_pad_q != block_q else None,
+    )
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=max(100 * 1024 * 1024, hpp * block_q * n_pad_q * 4 + 16 * 1024 * 1024)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad_q, 2 * d * hpp), lambda bi, gi, qi: (bi, 0, gi)),
+            pl.BlockSpec((1, n_pad_q, d * hpp), lambda bi, gi, qi: (bi, 0, gi)),
+            pl.BlockSpec((1, hpp, block_q), lambda bi, gi, qi: (bi, gi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d * hpp), lambda bi, gi, qi: (bi, qi, gi)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad_q, c), qkv.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(qk_slab, v_slab, ap)
+    return out[:, :n, :]

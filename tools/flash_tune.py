@@ -61,9 +61,15 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
         if with_int8:
-            # experimental int8-QK^T online kernel (includes its XLA-side
-            # per-row quantization cost — the honest e2e comparison)
-            from experiments.flash_attention_int8 import flash_attention_int8_qk
+            # experimental int8-QK^T kernels (each includes its XLA-side
+            # quantization cost — the honest e2e comparison). The online
+            # variant's 64-wide int8 refs fail Mosaic lowering (kept to
+            # record that); the round-4c fused-slab one-pass variant is the
+            # real candidate.
+            from experiments.flash_attention_int8 import (
+                flash_attention_int8_qk,
+                flash_attention_int8_qk_fused,
+            )
 
             def make_i8_fn(bq, bk):
                 def fn(x):
@@ -71,12 +77,27 @@ def main():
                     return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
                 return fn
 
-            for bq, bk in ((1024, 1024), (2048, 1024), (4096, 1024)):
+            for bq, bk in ((2048, 1024),):
                 try:
                     t = timeit_chain(make_i8_fn(bq, bk), q)
-                    print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     {t*1e3:8.2f} ms")
+                    print(f"  int8-qk online bq={str(bq):<5} bk={str(bk):<5}  {t*1e3:8.2f} ms")
                 except Exception as e:  # noqa: BLE001
-                    print(f"  int8-qk bq={str(bq):<5} bk={str(bk):<5}     failed: {type(e).__name__}")
+                    print(f"  int8-qk online bq={str(bq):<5} bk={str(bk):<5}  failed: {type(e).__name__}")
+
+            qkv_i8 = jnp.asarray(rng.standard_normal((1, n, 3 * h * d)), jnp.bfloat16)
+
+            def make_i8_fused_fn(fbq):
+                def fn(x):
+                    o = flash_attention_int8_qk_fused(x, h, block_q=fbq)
+                    return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
+                return fn
+
+            for fbq in (None, 256, 512, 1024):
+                try:
+                    t = timeit_chain(make_i8_fused_fn(fbq), qkv_i8)
+                    print(f"  int8-qk fused 1pass bq={str(fbq):<5} {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  int8-qk fused 1pass bq={str(fbq):<5} failed: {type(e).__name__}: {str(e)[:120]}")
         # one-pass cutover probe: the whole-K kernel is VMEM-feasible far past
         # the 2048 serving cutoff once block_q shrinks (the f32 logit tile is
         # block_q x N_pad; k/v blocks stay cached across q-programs). The

@@ -13,7 +13,7 @@ if ! wait_for_backend; then
 fi
 
 step tpu_sanity   2400 python tools/tpu_sanity.py
-step flash_sweep  3600 python tools/flash_tune.py 2917 5477 10405 18497
+step flash_sweep  4800 python tools/flash_tune.py --int8 2917 5477 10405 18497
 step sizes_scan   2400 python tools/bench_sizes.py 756 1036 1428 1904
 step sizes_unroll 3000 python tools/bench_sizes.py --unroll 756 1036
 step bench        1500 python bench.py
