@@ -54,9 +54,16 @@ def main():
     frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
     runners, compile_secs = {}, {}
     for kstr in args.ks:
-        unroll = True if kstr == "full" else int(kstr)
-        if unroll == 1:
-            unroll = False
+        # NOTE: True == 1 in Python — the earlier `if unroll == 1` demotion
+        # also caught "full" and silently measured scan mode for it (the
+        # round-4a/4c "full" rows tracked k=1 to 0.03 fps and "compiled" in
+        # 16 s). Keep the branches disjoint.
+        if kstr == "full":
+            unroll = True
+        else:
+            unroll = int(kstr)
+            if unroll == 1:
+                unroll = False
         model = make_depthanythingv2_dpt(
             features_per_token=1024, num_heads=16, num_blocks=24,
             reassembly_features_list=(256, 512, 1024, 1024),
