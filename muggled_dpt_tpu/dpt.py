@@ -118,21 +118,26 @@ class DPTModel:
         estimate = self.spec.get("aux_bytes_estimate")
         if estimate is not None:
             needed = estimate(self.config, grid_hw)
+            if not _fits_hbm_budget(needed, resident_bytes=_tree_bytes(self.params)):
+                # doesn't fit beside the params even with an EMPTY cache —
+                # check this before the eviction loop, or one oversized grid
+                # would drain every cached (hot) grid for zero benefit.
+                # Negative-cache the decision (stable, since params are
+                # constant): without it, every frame at this grid re-runs the
+                # estimate and re-prints the banner.
+                print(
+                    "*** WARNING ***\n"
+                    "Not enough device memory for relpos caching! Caching disabled for this grid..."
+                )
+                self._aux_cache[grid_hw] = None
+                return None
             while not _fits_hbm_budget(
                 needed, resident_bytes=_tree_bytes(self.params) + _tree_bytes(self._aux_cache)
             ):
-                lru = next((k for k, v in self._aux_cache.items() if v is not None), None)
-                if lru is None:
-                    # nothing left to evict: this grid doesn't fit beside the
-                    # params alone. Negative-cache the decision (stable, since
-                    # params are constant): without it, every frame at this
-                    # grid re-runs the estimate and re-prints the banner.
-                    print(
-                        "*** WARNING ***\n"
-                        "Not enough device memory for relpos caching! Caching disabled for this grid..."
-                    )
-                    self._aux_cache[grid_hw] = None
-                    return None
+                # evict least-recently-used positive entries until it fits
+                # (the params-only precheck above guarantees this terminates
+                # with room to spare once the cache is drained)
+                lru = next(k for k, v in self._aux_cache.items() if v is not None)
                 del self._aux_cache[lru]
         aux = self._aux_jit(self.params, grid_hw)
         # store in the compute dtype (e.g. bf16): halves cache HBM cost

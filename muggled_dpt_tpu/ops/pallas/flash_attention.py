@@ -228,7 +228,14 @@ def fused_qkv_supported(
     hpp = _heads_per_program(num_heads, d)
     if hpp is None:
         return False
-    return (not biased) or _fused_vmem_need_bytes(n_pad, hpp, True) <= _FUSED_VMEM_BUDGET
+    if biased:
+        return _fused_vmem_need_bytes(n_pad, hpp, True) <= _FUSED_VMEM_BUDGET
+    # unbiased q-blocked feasibility at the 256-row block FLOOR: small head
+    # dims force large hpp (e.g. d=16 -> hpp=8), whose floored logit tiles
+    # can exceed physical VMEM at large N — refuse so the serving dispatch
+    # falls back to the (B,N,H,D) wrapper instead of a Mosaic compile error
+    min_tile = hpp * ONE_PASS_MIN_BLOCK_Q * n_pad * 4
+    return min_tile + 16 * 1024 * 1024 <= _FUSED_VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret", "block_q"))
@@ -298,9 +305,11 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
         block_q = min(block_q, n_pad)
         n_pad_q = _round_up(n_pad, block_q)
     base_logit_bytes = hpp * (block_q if q_blocked else n_pad_q) * n_pad_q * 4
-    assert q_blocked or _fused_vmem_need_bytes(n_pad, hpp, False) <= _FUSED_VMEM_BUDGET, (
+    assert base_logit_bytes + 16 * 1024 * 1024 <= _FUSED_VMEM_BUDGET, (
         f"fused-qkv one-pass needs ~{(base_logit_bytes >> 20) + 16} MB VMEM at "
-        f"n_pad={n_pad}, hpp={hpp} (over the 128 MB physical budget); use flash_attention"
+        f"n_pad={n_pad}, hpp={hpp}, block_q={block_q if q_blocked else n_pad_q} "
+        "(over the 128 MB physical budget); use flash_attention "
+        "(fused_qkv_supported gates exactly this)"
     )
 
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad_q - n), (0, 0)))

@@ -299,6 +299,12 @@ def test_fused_qkv_past_cutoff_matches_naive():
     assert fused_qkv_supported(5477, 16, 64)
     assert fused_qkv_supported(18497, 16, 64)
     assert fused_qkv_supported(1025, 16, 64, biased=True)
+    # small head dims force large hpp whose FLOORED (256-row) logit tiles
+    # exceed physical VMEM at large N — the gate must refuse so serving
+    # falls back to the (B,N,H,D) wrapper instead of a Mosaic compile error
+    assert not fused_qkv_supported(16000, 8, 16, max_kv=100_000)
+    assert not fused_qkv_supported(31000, 4, 32, max_kv=100_000)
+    assert fused_qkv_supported(4000, 8, 16, max_kv=100_000)  # small N still fine
     rng = np.random.default_rng(1)
     b = 1
     q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)

@@ -243,8 +243,16 @@ def test_aux_cache_lru_eviction(monkeypatch):
     def _positives():
         return [k for k, v in m._aux_cache.items() if v is not None]
 
-    # budget: at most two positive grids resident at check time
-    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: len(_positives()) < 2)
+    # budget stub that RESPECTS resident_bytes (the params-only precheck
+    # depends on it): _tree_bytes counts 1 per positive cached grid and 0
+    # for params, so "fits" means fewer than two positive grids resident
+    def fake_tree_bytes(tree):
+        if isinstance(tree, dict) and any(isinstance(k, tuple) for k in tree):
+            return sum(1 for v in tree.values() if v is not None)
+        return 0  # params
+
+    monkeypatch.setattr(dpt_mod, "_tree_bytes", fake_tree_bytes)
+    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: resident_bytes < 2)
 
     a, b, c = (8, 8), (9, 9), (10, 10)
     aux_a = m._get_aux(a)
@@ -258,9 +266,11 @@ def test_aux_cache_lru_eviction(monkeypatch):
     assert _positives() == [a, c]
     assert len(m._aux_cache) == 2  # bounded, no stale entries
 
-    # nothing-to-evict case: with an always-failing budget the whole cache is
-    # drained and the grid is negative-cached (stable: params are constant)
+    # oversized-grid case: a grid that cannot fit beside the params even with
+    # an EMPTY cache is negative-cached WITHOUT evicting anything — draining
+    # the hot grids for a grid that can never be cached would only force the
+    # next frame at the hot size to recompute its full bias stack
     monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: False)
     assert m._get_aux((11, 11)) is None
-    assert _positives() == []
+    assert _positives() == [a, c]  # hot grids untouched
     assert m._aux_cache[(11, 11)] is None
