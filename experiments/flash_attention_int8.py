@@ -178,8 +178,10 @@ def _onepass_i8qk_kernel(qk_ref, v_ref, a_ref, o_ref, *, kv_len, d, hpp, block_q
     qk_ref: (1, N_pad, hpp*2D) int8, columns [head][q|k][dim]; q rows are
     pre-scaled by softmax_scale*log2(e)/sq_row before quantization.
     v_ref: (1, N_pad, hpp*D) storage-dtype v slab, [head][dim] columns.
-    a_ref: (1, hpp, BQ) f32 alpha rows = sq_row * sk_head (the exp2-domain
-    softmax scale already rode into q before quantization).
+    a_ref: (1, 1, 8, BQ) f32 alpha rows = sq_row * sk_head (the exp2-domain
+    softmax scale already rode into q before quantization); rows j >= hpp
+    are sublane padding — Pallas TPU requires the block's last two dims
+    divisible by (8, 128), and hpp=2 isn't.
     Mirrors _onepass_qkv_kernel's structure (muggled_dpt_tpu/ops/pallas/
     flash_attention.py): independent per-head chains for MXU/VPU overlap,
     (1, KV_pad) additive pad mask, fused softmax row-sum in the PV matmul's
@@ -187,20 +189,23 @@ def _onepass_i8qk_kernel(qk_ref, v_ref, a_ref, o_ref, *, kv_len, d, hpp, block_q
     qk = qk_ref[0]
     vs = v_ref[0]
     kv_pad = qk.shape[0]
+    alpha_rows = a_ref[0, 0]  # (8, BQ) — hpp rows used, rest sublane padding
     mask_row = None
     if kv_len < kv_pad:
         col = lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
         mask_row = jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
     qsrc = qk
     if block_q is not None:
-        qsrc = lax.dynamic_slice_in_dim(qk, pl.program_id(2) * block_q, block_q, axis=0)
+        # ref-level pl.ds load: Mosaic has no lowering for dynamic_slice on
+        # values (see _onepass_qkv_kernel / tests/test_tpu_lowering.py)
+        qsrc = qk_ref[0, pl.ds(pl.program_id(2) * block_q, block_q), :]
     for j in range(hpp):
         base = j * 2 * d
         q = qsrc[:, base : base + d]  # (BQ, D) int8
         k = qk[:, base + d : base + 2 * d]  # (KV_pad, D) int8
         v = vs[:, j * d : (j + 1) * d]
         s_i32 = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-        s = s_i32.astype(jnp.float32) * a_ref[0, j].reshape(-1, 1)
+        s = s_i32.astype(jnp.float32) * alpha_rows[j].reshape(-1, 1)
         if mask_row is not None:
             s = s + mask_row
         m = jnp.max(s, axis=1, keepdims=True)
@@ -269,7 +274,11 @@ def flash_attention_int8_qk_fused(qkv, num_heads, scale=None, block_q=None, inte
     v_slab = v.reshape(b, n, c)
     qk_slab = jnp.pad(qk_slab, ((0, 0), (0, n_pad_q - n), (0, 0)))
     v_slab = jnp.pad(v_slab, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    # (B, groups, 8, N_pad): head-group-major with the hpp axis padded to the
+    # 8-sublane minimum (see _onepass_i8qk_kernel docstring)
     ap = jnp.pad(alpha, ((0, 0), (0, 0), (0, n_pad_q - n))).astype(jnp.float32)
+    ap = ap.reshape(b, num_heads // hpp, hpp, n_pad_q)
+    ap = jnp.pad(ap, ((0, 0), (0, 0), (0, 8 - hpp), (0, 0))) if hpp < 8 else ap
 
     grid = (b, num_heads // hpp, n_pad_q // block_q)
     kernel = functools.partial(
@@ -287,7 +296,7 @@ def flash_attention_int8_qk_fused(qkv, num_heads, scale=None, block_q=None, inte
         in_specs=[
             pl.BlockSpec((1, n_pad_q, 2 * d * hpp), lambda bi, gi, qi: (bi, 0, gi)),
             pl.BlockSpec((1, n_pad_q, d * hpp), lambda bi, gi, qi: (bi, 0, gi)),
-            pl.BlockSpec((1, hpp, block_q), lambda bi, gi, qi: (bi, gi, qi)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, gi, qi: (bi, gi, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d * hpp), lambda bi, gi, qi: (bi, qi, gi)),
         out_shape=jax.ShapeDtypeStruct((b, n_pad_q, c), qkv.dtype),

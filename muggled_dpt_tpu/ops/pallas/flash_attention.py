@@ -154,7 +154,13 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None,
     qsrc = slab
     if block_q is not None:
         assert bias_ref is None, "q-blocked fused path is unbiased-only (see fused_qkv_supported)"
-        qsrc = lax.dynamic_slice_in_dim(slab, pl.program_id(2) * block_q, block_q, axis=0)
+        # slice the REF, not the loaded value: Mosaic has no lowering for
+        # dynamic_slice on values (the round-4d hardware run failed with
+        # "Unimplemented primitive ... dynamic_slice" — interpret-mode CPU
+        # tests can't see this; tests/test_tpu_lowering.py now can, via
+        # jax.export platforms=['tpu']). A pl.ds ref load with a 128-multiple
+        # sublane offset lowers fine and reads only block_q rows from VMEM.
+        qsrc = qkv_ref[0, pl.ds(pl.program_id(2) * block_q, block_q), :]
     for j in range(hpp):
         base = j * 3 * d
         q = (qsrc[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
