@@ -39,12 +39,13 @@ class DinoV2Config:
     is_giant: bool = False
     taps: tuple[int, ...] = ()  # block indices whose outputs feed the DPT neck
     attn_impl: str = "xla"
-    # Unrolled blocks run ~12% faster on v5e (XLA fuses across layers) but
-    # compile ~7x slower per input shape (112 s vs 16 s for ViT-L) — off by
-    # default to keep interactive size-switching usable; turn on for serving.
-    # True = full Python unroll; an int k >= 2 = lax.scan(unroll=k), the
-    # compile-time middle ground (tools/scan_unroll_curve.py charts ms vs
-    # compile-s per k).
+    # Unrolled blocks run faster on v5e (XLA fuses across layers) but compile
+    # slower per input shape — off by default to keep interactive
+    # size-switching usable; turn on for serving. True = full Python unroll;
+    # an int k >= 2 = lax.scan(unroll=k). The round-4e interleaved confirm
+    # @504^2 ViT-L: scan 81.2 fps / k=6 96.0 (31 s compile) / k=12 96.0 /
+    # full 94.0 (106 s cold) — k=6 is the serving knee, beating even full
+    # unroll at runtime (tools/scan_unroll_curve.py charts the curve).
     unroll: bool | int = False
 
     @staticmethod

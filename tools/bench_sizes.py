@@ -7,9 +7,11 @@ the chip, using the same device-resident-frame chip-throughput method as
 bench.py (ordered dispatch + one final probe readback; the tunnel's ~25 ms
 RTT amortizes over the window).
 
-Run: python tools/bench_sizes.py [--unroll] [size ...]   (default: 756 1036 1428 1904)
---unroll measures the fixed-shape serving mode (unroll_blocks; ~12% faster
-encoder, minutes-long first compile per shape — cached persistently).
+Run: python tools/bench_sizes.py [--unroll[=K]] [size ...]   (default: 756 1036 1428 1904)
+--unroll measures the fixed-shape serving mode; bare --unroll picks the
+measured knee k=6 (round-4e: k=6 96.0 fps beats full unroll's 94.0 @504^2
+and compiles 3.4x faster); --unroll=full forces the full Python unroll,
+--unroll=K any scan(unroll=K). Compiles are cached persistently.
 """
 
 import sys
@@ -30,8 +32,17 @@ def main():
 
     enable_compilation_cache()
     args = sys.argv[1:]
-    unroll = "--unroll" in args
-    sizes = [int(a) for a in args if a != "--unroll"] or [756, 1036, 1428, 1904]
+    unroll: bool | int = False
+    sizes = []
+    for a in args:
+        if a == "--unroll":
+            unroll = 6  # the measured serving knee (see module docstring)
+        elif a.startswith("--unroll="):
+            v = a.split("=", 1)[1]
+            unroll = True if v == "full" else int(v)
+        else:
+            sizes.append(int(a))
+    sizes = sizes or [756, 1036, 1428, 1904]
 
     model = make_depthanythingv2_dpt(
         features_per_token=1024,
@@ -45,7 +56,8 @@ def main():
         dtype=jnp.bfloat16,
     )
     if unroll:
-        print("mode: unroll_blocks (fixed-shape serving)", flush=True)
+        mode = "full" if unroll is True else f"k={unroll}"
+        print(f"mode: unroll_blocks={mode} (fixed-shape serving)", flush=True)
 
     rng = np.random.default_rng(0)
     image_bgr = rng.integers(0, 256, size=(2160, 2160, 3), dtype=np.uint8)
