@@ -54,6 +54,10 @@ def parse_args():
     parser.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel", default=1, type=int,
                         help="Also shard the weights Megatron-style over a model axis of this width "
                              "(needs data_parallel x tensor_parallel devices)")
+    parser.add_argument("--unroll", default=None, const="6", nargs="?", metavar="K",
+                        help="Fixed-shape serving mode: unroll the encoder blocks (bare flag = the "
+                             "measured knee k=6, ~18%% faster than scan @504^2 ViT-L; 'full' = full "
+                             "Python unroll; longer first compile per shape, cached persistently)")
     parser.add_argument("--save", default="u16", help="Comma list of outputs: u16, npy, color (default: u16)")
     parser.add_argument("--max_frames", default=None, type=int, help="Stop after N frames")
     parser.add_argument("--eval_gt", default=None, metavar="FOLDER",
@@ -137,7 +141,8 @@ def main():
 
     device_config = make_device_config(use_float32=args.use_float32)
     print("", "Loading model weights...", f"  @ {model_path}", sep="\n", flush=True)
-    _, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"])
+    unroll = False if args.unroll is None else (True if args.unroll == "full" else int(args.unroll))
+    _, model = make_dpt_from_state_dict(model_path, dtype=device_config["dtype"], unroll_blocks=unroll)
     model = maybe_quantize_int8(model, args.int8, args.int8_full)
 
     n_dev = len(jax.devices())

@@ -147,7 +147,7 @@ def test_run_batch_folder_data_parallel(fixtures):
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="--xla_force_host_platform_device_count=2")
     r = subprocess.run(
         [sys.executable, osp.join(REPO_ROOT, "run_batch.py"), "-m", fixtures["ckpt"], "-i", frames_dir,
-         "-o", out_dir, "-dp", "2", "-f32", "--save", "u16,npy,color"],
+         "-o", out_dir, "-dp", "2", "-f32", "--save", "u16,npy,color", "--unroll", "2"],
         cwd=d, env=env, capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
