@@ -30,7 +30,12 @@ def timeit_chain(fn, x, reps=4, target_s=0.3):
 def main():
     args = sys.argv[1:]
     with_int8 = "--int8" in args
-    ns = [int(a) for a in args if a != "--int8"] or [5477, 10405, 18497]
+    # --staged-only: skip the xla/online/plain-one-pass sections (already
+    # measured across rounds 4b/4f) and run just the fused-qkv anchor + the
+    # staged experiment grid — keeps a staged sweep inside a short TPU window
+    staged_only = "--staged-only" in args
+    with_staged = "--staged" in args or staged_only
+    ns = [int(a) for a in args if not a.startswith("--")] or [5477, 10405, 18497]
     h, d = 16, 64  # ViT-L heads; BH=16 per batch-1 frame
     rng = np.random.default_rng(0)
     for n in ns:
@@ -49,17 +54,18 @@ def main():
             return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
 
         print(f"\nN={n} (BH={h}, D={d}):")
-        try:
-            t = timeit_chain(xla_fn, q)
-            print(f"  xla dot_product_attention          {t*1e3:8.2f} ms")
-        except Exception as e:  # noqa: BLE001
-            print(f"  xla dpa failed: {type(e).__name__}")
-        for bq, bk in ((None, None), (1024, 1024), (2048, 1024), (4096, 1024)):
+        if not staged_only:
             try:
-                t = timeit_chain(make_fn(bq, bk, one_pass=False), q)
-                print(f"  online bq={str(bq):<5} bk={str(bk):<5}      {t*1e3:8.2f} ms")
+                t = timeit_chain(xla_fn, q)
+                print(f"  xla dot_product_attention          {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
-                print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
+                print(f"  xla dpa failed: {type(e).__name__}")
+            for bq, bk in ((None, None), (1024, 1024), (2048, 1024), (4096, 1024)):
+                try:
+                    t = timeit_chain(make_fn(bq, bk, one_pass=False), q)
+                    print(f"  online bq={str(bq):<5} bk={str(bk):<5}      {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  online bq={str(bq):<5} bk={str(bk):<5}      failed: {type(e).__name__}")
         if with_int8:
             # experimental int8-QK^T kernels (each includes its XLA-side
             # quantization cost — the honest e2e comparison). The online
@@ -104,12 +110,13 @@ def main():
         # round-3d mask-row optimization removed most of its per-call VPU
         # penalty, so probe it at EVERY N — if it keeps beating the online
         # kernel, the serving cutover moves.
-        for bq in (None, 256, 512, 1024):
-            try:
-                t = timeit_chain(make_fn(bq, None, one_pass=True), q)
-                print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
-            except Exception as e:  # noqa: BLE001
-                print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
+        if not staged_only:
+            for bq in (None, 256, 512, 1024):
+                try:
+                    t = timeit_chain(make_fn(bq, None, one_pass=True), q)
+                    print(f"  one-pass bq={str(bq):<5}           {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  one-pass bq={str(bq):<5}           failed: {type(e).__name__}")
         # fused-qkv one-pass (the actual DA serving path): reads the
         # head-major qkv projection output directly, hpp heads/program;
         # q-blocked automatically past the whole-N VMEM ceiling (round-4c),
@@ -124,12 +131,33 @@ def main():
                 return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
             return fn
 
-        for fbq in (None, 256, 512, 1024):
+        fused_bqs = (None,) if staged_only else (None, 256, 512, 1024)
+        for fbq in fused_bqs:
             try:
                 t = timeit_chain(make_fused_fn(fbq), qkv)
                 print(f"  fused-qkv one-pass bq={str(fbq):<5}   {t*1e3:8.2f} ms")
             except Exception as e:  # noqa: BLE001
                 print(f"  fused-qkv one-pass bq={str(fbq):<5}   failed: {type(e).__name__}: {str(e)[:120]}")
+
+        if with_staged:
+            # staged (k-panel) + hpp-override experiment
+            # (experiments/flash_attention_staged.py): (hpp=2, panels=1) is
+            # the production kernel's structure through the experiment
+            # wrapper — the sanity anchor the variants are judged against
+            from experiments.flash_attention_staged import flash_attention_fused_qkv_staged
+
+            def make_staged_fn(hpp, panels):
+                def fn(x):
+                    o = flash_attention_fused_qkv_staged(x, h, hpp=hpp, panels=panels)
+                    return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
+                return fn
+
+            for hpp, panels in ((2, 1), (2, 2), (2, 4), (2, 8), (4, 1), (4, 2), (4, 4), (8, 1), (8, 2)):
+                try:
+                    t = timeit_chain(make_staged_fn(hpp, panels), qkv)
+                    print(f"  staged hpp={hpp} panels={panels}          {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  staged hpp={hpp} panels={panels}          failed: {type(e).__name__}: {str(e)[:100]}")
 
 
 if __name__ == "__main__":
