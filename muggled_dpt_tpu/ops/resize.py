@@ -156,9 +156,54 @@ def resize_output_size(in_hw, scale_factor: float) -> tuple[int, int]:
     return (int(np.floor(in_hw[0] * scale_factor)), int(np.floor(in_hw[1] * scale_factor)))
 
 
+@functools.lru_cache(maxsize=512)
+def _banded_blocks_np(in_size: int, out_size: int, align_corners: bool, block: int = 128):
+    """Block-banded decomposition of the dense 2-tap linear matrix: for each
+    ``block``-row output slab, the input window its taps touch plus the dense
+    (block, window) weight slice. Same row-stochastic weights as the dense
+    path — only the all-zero columns outside each slab's window are dropped,
+    so results are numerically identical (the MXU accumulates zeros for free;
+    it's the HBM reads and MAC slots that aren't free at large sizes)."""
+    w = _resize_matrix_np(in_size, out_size, "linear", align_corners, False)
+    blocks = []
+    for o0 in range(0, out_size, block):
+        o1 = min(o0 + block, out_size)
+        rows = w[o0:o1]
+        nz = np.nonzero(rows.any(axis=0))[0]
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        blocks.append((lo, hi, rows[:, lo:hi]))
+    return tuple(blocks)
+
+
 # ---------------------------------------------------------------------------
 # Device-side application
 # ---------------------------------------------------------------------------
+
+# Input size (rows/cols) at which the bf16 linear pass switches from the dense
+# (out,in) matmul to the block-banded form. None disables the banded path
+# pending the on-chip profile (tools/profile_head.py); set to the measured
+# crossover once tools/run_hw_round4g.sh reports.
+BANDED_MIN_IN: int | None = None
+
+
+def _apply_linear_bf16(x, axis, in_size, out_size, align_corners, compute_dtype):
+    """One bf16 non-antialiased linear pass along ``axis`` (1=H, 2=W) of an
+    NHWC array: dense (out,in) MXU matmul below BANDED_MIN_IN input size,
+    block-banded windows above it (identical weights either way)."""
+    spec = "oh,nhwc->nowc" if axis == 1 else "ow,nhwc->nhoc"
+    if BANDED_MIN_IN is not None and in_size >= BANDED_MIN_IN:
+        parts = [
+            jnp.einsum(
+                spec,
+                jnp.asarray(wb, compute_dtype),
+                (x[:, lo:hi] if axis == 1 else x[:, :, lo:hi]),
+                preferred_element_type=compute_dtype,
+            )
+            for (lo, hi, wb) in _banded_blocks_np(in_size, out_size, align_corners)
+        ]
+        return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+    wm = jnp.asarray(_resize_matrix_np(in_size, out_size, "linear", align_corners, False), compute_dtype)
+    return jnp.einsum(spec, wm, x, preferred_element_type=compute_dtype)
 
 
 def resize_2d(
@@ -201,12 +246,15 @@ def resize_2d(
         # free while the gather path is bound by HBM traffic + TPU gather
         # lowering — measured 816 -> ~250 us on the ViT-L head's 288->504
         # 128ch upsample. f32 (parity mode) keeps the exact-lerp taps below.
+        # Above _BANDED_MIN_IN input rows/cols the zero-MAC waste stops being
+        # free (the dense matrix grows quadratically with resolution) and the
+        # same weights are applied block-banded: each 128-output-row slab
+        # multiplies only its input window (~in/window = 6-10x fewer FLOPs at
+        # 1428/1904px, every matmul still MXU-shaped).
         if out_h != h:
-            wh = jnp.asarray(_resize_matrix_np(h, out_h, "linear", align_corners, False), compute_dtype)
-            x = jnp.einsum("oh,nhwc->nowc", wh, x, preferred_element_type=compute_dtype)
+            x = _apply_linear_bf16(x, 1, h, out_h, align_corners, compute_dtype)
         if out_w != w:
-            ww = jnp.asarray(_resize_matrix_np(w, out_w, "linear", align_corners, False), compute_dtype)
-            x = jnp.einsum("ow,nhwc->nhoc", ww, x, preferred_element_type=compute_dtype)
+            x = _apply_linear_bf16(x, 2, w, out_w, align_corners, compute_dtype)
         x = x.astype(orig_dtype)
         if squeeze == [0, -1]:
             return x[0, :, :, 0]

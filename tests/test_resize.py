@@ -93,3 +93,34 @@ def test_bf16_dense_matmul_branch_matches_two_tap():
         )
         denom = max(np.abs(ref).max(), 1e-9)
         assert np.max(np.abs(got - ref)) / denom < 3e-2, (hw_in, hw_out)
+
+
+def test_bf16_banded_branch_matches_dense(monkeypatch):
+    """The block-banded bf16 pass drops only all-zero weight columns per
+    128-row output slab, so it must agree with the dense-matmul branch to
+    bf16 rounding at every size — including non-multiple-of-128 outputs,
+    upsamples and downsamples, and through the public resize_2d dispatch."""
+    import jax.numpy as jnp
+    from muggled_dpt_tpu.ops import resize as R
+
+    rng = np.random.default_rng(4)
+    cases = [
+        (160, 280, 8),   # 1.75x head-style upsample, out not /128
+        (144, 288, 4),   # exact 2x fusion-style upsample
+        (300, 170, 4),   # downsample
+        (130, 131, 3),   # awkward near-identity sizes
+    ]
+    for hw_in, hw_out, c in cases:
+        x = jnp.asarray(rng.standard_normal((1, hw_in, hw_in, c)), jnp.bfloat16)
+        monkeypatch.setattr(R, "BANDED_MIN_IN", None)
+        dense = np.asarray(resize_2d(x, (hw_out, hw_out), mode="bilinear", align_corners=True), np.float32)
+        monkeypatch.setattr(R, "BANDED_MIN_IN", 1)  # force banded on both passes
+        banded = np.asarray(resize_2d(x, (hw_out, hw_out), mode="bilinear", align_corners=True), np.float32)
+        denom = max(np.abs(dense).max(), 1e-9)
+        assert np.max(np.abs(banded - dense)) / denom < 1e-2, (hw_in, hw_out)
+    # banded window bookkeeping: slabs tile the output exactly and windows
+    # cover only the taps each slab touches
+    blocks = R._banded_blocks_np(816, 1428, True)
+    assert sum(wb.shape[0] for (_, _, wb) in blocks) == 1428
+    assert all(hi - lo == wb.shape[1] for (lo, hi, wb) in blocks)
+    assert max(wb.shape[1] for (_, _, wb) in blocks) < 816 // 6  # real FLOP cut
