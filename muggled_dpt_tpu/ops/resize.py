@@ -180,10 +180,14 @@ def _banded_blocks_np(in_size: int, out_size: int, align_corners: bool, block: i
 # ---------------------------------------------------------------------------
 
 # Input size (rows/cols) at which the bf16 linear pass switches from the dense
-# (out,in) matmul to the block-banded form. None disables the banded path
-# pending the on-chip profile (tools/profile_head.py); set to the measured
-# crossover once tools/run_hw_round4g.sh reports.
-BANDED_MIN_IN: int | None = None
+# (out,in) matmul to the block-banded form. On-chip profile (round-4g,
+# tools/profile_head.py, chain-slope timed): banded beats dense at every
+# measured input size — 408→816 C=256: 0.50 vs 1.41 ms, 544→1088 C=256:
+# 1.36 vs 3.73, 816→1428 C=128: 1.36 vs 4.27, 1088→1904 C=128: 2.42 vs 9.33.
+# Below ~384 input rows the dense matrix is small enough that the zero-MAC
+# waste is free (round-2b measured dense beating the gather at 288→504) and
+# the concat of banded slabs costs a relayout, so the dense path stays.
+BANDED_MIN_IN: int | None = 384
 
 
 def _apply_linear_bf16(x, axis, in_size, out_size, align_corners, compute_dtype):

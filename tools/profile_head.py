@@ -40,13 +40,15 @@ from tools.chain_timer import timeit_chain as _timeit_chain  # noqa: E402
 
 def timeit(op, x, target_s=0.3):
     """Chain-slope time for op: x -> y (any output shape). The carry is x with
-    a single element perturbed by y's first element — keeps iterations
-    data-dependent (no DCE/hoist) while the fold costs one dynamic-update
-    instead of a full-tensor pass."""
+    a single element perturbed by a max-reduction of y. The fold MUST consume
+    the whole output: the round-4g run folded only y[0,...,0] and XLA sliced
+    the convolutions down to the one output pixel the fold read (conv rows
+    printed ~0.00 ms — spatial slicing pushes through conv_general_dilated but
+    not through the einsum+concat resize paths, which timed sanely)."""
 
     def step(c):
         y = op(c)
-        return c.at[0, 0, 0, 0].add(y[(0,) * y.ndim].astype(c.dtype) * c.dtype.type(1e-6))
+        return c.at[0, 0, 0, 0].add(jnp.max(y).astype(c.dtype) * c.dtype.type(1e-6))
 
     return _timeit_chain(step, x, reps=4, target_s=target_s, probe=lambda y: y[0, 0, 0, 0])
 
