@@ -194,6 +194,16 @@ def conv2d(x, kernel, bias=None, stride=1, padding="SAME"):
     return y
 
 
+# Spatial size above which conv3x3_shiftsum falls back to the direct conv:
+# the shiftsum form materializes a 9x-wider tap tensor, whose HBM traffic
+# grows with h*w while the MXU-lane argument for it is size-independent —
+# at some resolution the 9x write/read swamps the lane win. None = always
+# shiftsum (the measured 504² win) pending the honest XL profile
+# (tools/profile_head.py with the whole-output fold; the round-4g "DIRECT
+# ~0 ms" rows were an XLA conv-slicing artifact of the single-pixel fold).
+SHIFTSUM_MAX_HW: int | None = None
+
+
 def conv3x3_shiftsum(x, kernel, bias=None):
     """3x3 stride-1 SAME conv for LOW output-channel counts, reformulated as
     one wide matmul + 9 shifted adds.
@@ -204,8 +214,11 @@ def conv3x3_shiftsum(x, kernel, bias=None):
     shifted slices that XLA fuses into a single accumulation loop
     (36 TFLOPs measured, ~1.45x faster at the DPT head's 128->32 @504^2 conv).
     Exact same math as conv_general_dilated modulo f32 summation order.
-    kernel: (3, 3, ci, co)."""
+    Above SHIFTSUM_MAX_HW spatial rows/cols the 9x tap-tensor HBM traffic
+    dominates and the direct conv takes over. kernel: (3, 3, ci, co)."""
     b, h, w, ci = x.shape
+    if SHIFTSUM_MAX_HW is not None and max(h, w) > SHIFTSUM_MAX_HW:
+        return conv2d(x, kernel, bias, padding=1)
     co = kernel.shape[-1]
     w9 = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(ci, 9 * co)
     y9 = (x.reshape(b, h * w, ci) @ w9).reshape(b, h, w, 9, co)

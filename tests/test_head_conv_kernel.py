@@ -27,3 +27,26 @@ def test_fused_head_tail_matches_unfused(h, w, metric):
     ref = (jax.nn.sigmoid(ref) if metric else jax.nn.relu(ref))[..., 0]
     got = fused_head_tail(x, ck, cb, pk, pb, is_metric=metric, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_shiftsum_direct_dispatch_matches():
+    """conv3x3_shiftsum's SHIFTSUM_MAX_HW fallback (direct conv at large
+    spatial sizes) computes the same conv: exact same math modulo f32
+    summation order (ops/nn.py:conv3x3_shiftsum)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import muggled_dpt_tpu.ops.nn as NN
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 17, 23, 24)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 24, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+    old = NN.SHIFTSUM_MAX_HW
+    try:
+        NN.SHIFTSUM_MAX_HW = None
+        ref = np.asarray(NN.conv3x3_shiftsum(x, k, b))
+        NN.SHIFTSUM_MAX_HW = 4  # force the direct-conv branch
+        got = np.asarray(NN.conv3x3_shiftsum(x, k, b))
+    finally:
+        NN.SHIFTSUM_MAX_HW = old
+    assert np.max(np.abs(ref - got)) < 1e-4
