@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Measure the int8 serving tiers on the chip: encoder-only vs full
-(include_neck) for DA ViT-L and ViT-Giant at 518 max-side.
+(include_neck) for DA ViT-L and ViT-Giant, at 518 max-side by default
+(--sizes 1036 1428 ... measures the XL ladder, where the int8-accelerated
+projection/MLP matmul tail is ~40 ms of the 1428-px step).
 
 Writes one line per (model, tier) with chip-throughput latency
 (dispatch-queue amortized, CLAUDE.md measurement rules). Numbers land in
@@ -40,6 +42,7 @@ def main():
     which.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
     which.add_argument("--giant-only", action="store_true", help="measure only the giant")
     ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
+    ap.add_argument("--sizes", type=int, nargs="+", default=[518], help="max-side px per measurement")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,6 @@ def main():
         m = make_depthanythingv2_dpt(base_patch_grid_hw=(37, 37), patch_size_px=14,
                                      dtype=jnp.bfloat16, **CONFIGS[name])
         print(f"[{name}] built in {time.time() - t0:.0f}s", flush=True)
-        xd = jax.device_put(m.prepare_image_bgr_nhwc(img, 518))
         # jit once per tier: the tools measure the compiled serving program,
         # not op-by-op eager dispatch (which times the tunnel, not the chip).
         # Tiers are built lazily inside the loop so only one extra param set
@@ -70,8 +72,10 @@ def main():
             ("int8+qkv+neck", lambda: m.quantize_encoder_int8(include_qkv=True, include_neck=True)),
         ):
             params = build().params
-            ms = chip_ms(lambda: jfwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)
-            print(f"{name:6s} {tier:22s} {ms:7.2f} ms", flush=True)
+            for size in args.sizes:
+                xd = jax.device_put(m.prepare_image_bgr_nhwc(img, size))
+                ms = chip_ms(lambda: jfwd(params, xd, None), probe=lambda d: d[0, 0, 0], iters=args.iters)
+                print(f"{name:6s} {tier:22s} @{size:<5d} {ms:7.2f} ms", flush=True)
             del params
         del m, jfwd
 

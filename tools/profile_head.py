@@ -21,6 +21,13 @@ resize candidates against the serving dense path:
 If a candidate wins on-chip it gets wired into ops/resize.py behind the same
 bf16 gate (scale-aware dispatch); a loser stays recorded here.
 
+CAVEAT (round-4h): after commit 0684f83 the package ``resize_2d`` ITSELF
+dispatches banded above BANDED_MIN_IN=384 input rows, so a "dense" row that
+calls ``resize_2d`` measures banded-vs-banded (the 4h run read 1.84 vs
+1.86 ms at 816→1428 — consistency, not a verdict). The dense row below now
+builds the full (out,in) einsum directly, bypassing the dispatch, and the
+"serving" row times whatever ``resize_2d`` actually ships.
+
 Run on the TPU: python tools/profile_head.py [--size 1428 1904]
 """
 
@@ -90,6 +97,20 @@ def resize_2d_banded(x, out_hw, align_corners=True, block=128):
     return x
 
 
+def resize_2d_dense(x, out_hw, align_corners=True):
+    """True dense (out,in) matmul resize — resize_2d's pre-0684f83 bf16 path,
+    inlined so the package's banded dispatch can't silently take over."""
+    n, h, w, c = x.shape
+    out_h, out_w = out_hw
+    if out_h != h:
+        wm = jnp.asarray(_resize_matrix_np(h, out_h, "linear", align_corners, False), x.dtype)
+        x = jnp.einsum("oh,nhwc->nowc", wm, x, preferred_element_type=x.dtype)
+    if out_w != w:
+        wm = jnp.asarray(_resize_matrix_np(w, out_w, "linear", align_corners, False), x.dtype)
+        x = jnp.einsum("ow,nhwc->nhoc", wm, x, preferred_element_type=x.dtype)
+    return x
+
+
 def resize_2d_gather(x, out_hw, align_corners=True):
     from muggled_dpt_tpu.ops.resize import _linear_taps_np
 
@@ -130,9 +151,10 @@ def main():
 
         x128 = jnp.asarray(rng.standard_normal((1, fuse, fuse, 128)), dt)
         for name, fn in (
-            ("dense ", lambda a: resize_2d(a, (full, full), mode="bilinear", align_corners=True)),
-            ("banded", lambda a: resize_2d_banded(a, (full, full))),
-            ("gather", lambda a: resize_2d_gather(a, (full, full))),
+            ("dense  ", lambda a: resize_2d_dense(a, (full, full))),
+            ("serving", lambda a: resize_2d(a, (full, full), mode="bilinear", align_corners=True)),
+            ("banded ", lambda a: resize_2d_banded(a, (full, full))),
+            ("gather ", lambda a: resize_2d_gather(a, (full, full))),
         ):
             t = timeit(fn, x128)
             print(f"  head resize {fuse}->{full} C=128 {name}     {t*1e3:8.2f} ms")
@@ -156,9 +178,10 @@ def main():
         t = timeit(lambda a: conv2d(jax.nn.relu(a), k256, padding=1), xh)
         print(f"  fusion RCU conv 3x3 256->256 @{half}²    {t*1e3:8.2f} ms  (x2 per RCU, x2 RCUs/level)")
         for name, fn in (
-            ("dense ", lambda a: resize_2d(a, (fuse, fuse), mode="bilinear", align_corners=True)),
-            ("banded", lambda a: resize_2d_banded(a, (fuse, fuse))),
-            ("gather", lambda a: resize_2d_gather(a, (fuse, fuse))),
+            ("dense  ", lambda a: resize_2d_dense(a, (fuse, fuse))),
+            ("serving", lambda a: resize_2d(a, (fuse, fuse), mode="bilinear", align_corners=True)),
+            ("banded ", lambda a: resize_2d_banded(a, (fuse, fuse))),
+            ("gather ", lambda a: resize_2d_gather(a, (fuse, fuse))),
         ):
             t = timeit(fn, xh)
             print(f"  fusion resize {half}->{fuse} C=256 {name}    {t*1e3:8.2f} ms")
