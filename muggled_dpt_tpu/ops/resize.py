@@ -184,6 +184,10 @@ def _banded_blocks_np(in_size: int, out_size: int, align_corners: bool, block: i
 # tools/profile_head.py, chain-slope timed): banded beats dense at every
 # measured input size — 408→816 C=256: 0.50 vs 1.41 ms, 544→1088 C=256:
 # 1.36 vs 3.73, 816→1428 C=128: 1.36 vs 4.27, 1088→1904 C=128: 2.42 vs 9.33.
+# (Those dense rows used the pre-4h single-pixel fold, which XLA could
+# narrow through a single einsum — so they are LOWER bounds on dense cost;
+# the round-4h e2e fold confirmed the direction: 1428² 199→196 ms,
+# 1904² 506→500, headline 95.8→96.4 fps, no regression at any size.)
 # Below ~384 input rows the dense matrix is small enough that the zero-MAC
 # waste is free (round-2b measured dense beating the gather at 288→504) and
 # the concat of banded slabs costs a relayout, so the dense path stays.
