@@ -118,7 +118,13 @@ class DPTModel:
         estimate = self.spec.get("aux_bytes_estimate")
         if estimate is not None:
             needed = estimate(self.config, grid_hw)
-            if not _fits_hbm_budget(needed, resident_bytes=_tree_bytes(self.params)):
+            params_bytes = _tree_bytes(self.params)
+            cache_bytes = _tree_bytes(self._aux_cache)
+            if not _fits_hbm_budget(
+                needed,
+                resident_bytes=params_bytes + cache_bytes,
+                reclaimable_bytes=cache_bytes,
+            ):
                 # doesn't fit beside the params even with an EMPTY cache —
                 # check this before the eviction loop, or one oversized grid
                 # would drain every cached (hot) grid for zero benefit.
@@ -132,12 +138,16 @@ class DPTModel:
                 self._aux_cache[grid_hw] = None
                 return None
             while not _fits_hbm_budget(
-                needed, resident_bytes=_tree_bytes(self.params) + _tree_bytes(self._aux_cache)
+                needed, resident_bytes=params_bytes + _tree_bytes(self._aux_cache)
             ):
-                # evict least-recently-used positive entries until it fits
-                # (the params-only precheck above guarantees this terminates
-                # with room to spare once the cache is drained)
-                lru = next(k for k, v in self._aux_cache.items() if v is not None)
+                # evict least-recently-used positive entries until it fits.
+                # The empty-cache precheck above means this normally stops
+                # with room to spare; the None default guards the drained
+                # case (live memory_stats can shift between the two checks)
+                # — then proceed on the precheck's verdict rather than crash.
+                lru = next((k for k, v in self._aux_cache.items() if v is not None), None)
+                if lru is None:
+                    break
                 del self._aux_cache[lru]
         aux = self._aux_jit(self.params, grid_hw)
         # store in the compute dtype (e.g. bf16): halves cache HBM cost
@@ -389,14 +399,27 @@ def _tree_bytes(tree) -> int:
     return sum(int(getattr(l, "nbytes", 0)) for l in jax.tree_util.tree_leaves(tree))
 
 
-def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5, resident_bytes: int = 0) -> bool:
+def _fits_hbm_budget(
+    needed_bytes: int,
+    safety_fraction: float = 0.5,
+    resident_bytes: int = 0,
+    reclaimable_bytes: int = 0,
+) -> bool:
     """True if `needed_bytes` fits in the free device memory (with headroom).
 
-    resident_bytes: what the model already holds (params + cached aux) — used
-    only by the stats-unavailable fallback, where live bytes_in_use can't be
-    read (this repo's TPU backend returns None from memory_stats(), so the
-    fallback IS the deployed path: without it each new grid would be judged
-    against a flat budget while the cache grows unbounded)."""
+    resident_bytes: what the model already holds (params + cached aux). On
+    the stats path those buffers are already inside bytes_in_use, so only the
+    stats-unavailable fallback charges them (this repo's TPU backend returns
+    None from memory_stats(), so the fallback IS the deployed path: without
+    it each new grid would be judged against a flat budget while the cache
+    grows unbounded).
+
+    reclaimable_bytes: the subset of resident_bytes the caller is willing to
+    evict (cached grids) — credited back as free space on BOTH paths, so the
+    "would it fit with an empty cache" precheck works on stats-capable
+    backends too (where in_use already counts the evictable grids; without
+    the credit the precheck and the eviction-loop check are the same
+    predicate and eviction can never fire)."""
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit")
@@ -404,8 +427,8 @@ def _fits_hbm_budget(needed_bytes: int, safety_fraction: float = 0.5, resident_b
         if not limit:
             # stats unavailable (some PJRT plugins): assume a conservative
             # 8 GB of headroom for params + every cached grid together
-            return resident_bytes + needed_bytes < 8 * 1024**3
-        return needed_bytes < (limit - in_use) * safety_fraction
+            return resident_bytes - reclaimable_bytes + needed_bytes < 8 * 1024**3
+        return needed_bytes < (limit - in_use + reclaimable_bytes) * safety_fraction
     except Exception:
         return True
 

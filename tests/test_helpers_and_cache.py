@@ -252,7 +252,12 @@ def test_aux_cache_lru_eviction(monkeypatch):
         return 0  # params
 
     monkeypatch.setattr(dpt_mod, "_tree_bytes", fake_tree_bytes)
-    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: resident_bytes < 2)
+    monkeypatch.setattr(
+        dpt_mod,
+        "_fits_hbm_budget",
+        # the empty-cache precheck credits the cache back via reclaimable_bytes
+        lambda needed, resident_bytes=0, reclaimable_bytes=0: resident_bytes - reclaimable_bytes < 2,
+    )
 
     a, b, c = (8, 8), (9, 9), (10, 10)
     aux_a = m._get_aux(a)
@@ -270,7 +275,48 @@ def test_aux_cache_lru_eviction(monkeypatch):
     # an EMPTY cache is negative-cached WITHOUT evicting anything — draining
     # the hot grids for a grid that can never be cached would only force the
     # next frame at the hot size to recompute its full bias stack
-    monkeypatch.setattr(dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0: False)
+    monkeypatch.setattr(
+        dpt_mod, "_fits_hbm_budget", lambda needed, resident_bytes=0, reclaimable_bytes=0: False
+    )
     assert m._get_aux((11, 11)) is None
     assert _positives() == [a, c]  # hot grids untouched
     assert m._aux_cache[(11, 11)] is None
+
+    # stats shifting between the precheck and the loop: the precheck passes
+    # (reclaimable credit) but the loop never fits — the loop must drain and
+    # break (no StopIteration), then cache on the precheck's verdict
+    monkeypatch.setattr(
+        dpt_mod,
+        "_fits_hbm_budget",
+        lambda needed, resident_bytes=0, reclaimable_bytes=0: reclaimable_bytes > 0,
+    )
+    assert m._get_aux((12, 12)) is not None
+    assert _positives() == [(12, 12)]  # previous hot grids drained, no crash
+
+
+def test_fits_hbm_budget_stats_path_credits_reclaimable(monkeypatch):
+    """On stats-capable backends bytes_in_use already contains the cached
+    grids, so the empty-cache precheck must credit reclaimable bytes back —
+    otherwise it equals the eviction-loop predicate and eviction can never
+    fire (each new over-budget grid would be permanently negative-cached
+    while stale grids hold the memory)."""
+    import jax
+
+    from muggled_dpt_tpu.dpt import _fits_hbm_budget
+
+    class FakeDev:
+        def memory_stats(self):
+            # 10 GB limit, 9 GB in use (of which 4 GB is evictable cache)
+            return {"bytes_limit": 10 * 1024**3, "bytes_in_use": 9 * 1024**3}
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev()])
+    gb = 1024**3
+    # fits-now check (loop): 1 GB free * 0.5 headroom -> 2 GB does NOT fit
+    assert not _fits_hbm_budget(2 * gb, resident_bytes=9 * gb)
+    # empty-cache precheck: crediting the 4 GB evictable cache -> it fits,
+    # so the caller evicts instead of negative-caching
+    assert _fits_hbm_budget(2 * gb, resident_bytes=9 * gb, reclaimable_bytes=4 * gb)
+    # fallback path (no stats): resident minus reclaimable is what counts
+    monkeypatch.setattr(FakeDev, "memory_stats", lambda self: None)
+    assert not _fits_hbm_budget(2 * gb, resident_bytes=7 * gb)
+    assert _fits_hbm_budget(2 * gb, resident_bytes=7 * gb, reclaimable_bytes=4 * gb)
