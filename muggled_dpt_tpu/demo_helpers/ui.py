@@ -962,7 +962,9 @@ class PathCarousel(Carousel):
     def _display_text(self) -> str:
         import os.path as osp
 
-        return osp.basename(str(self.value)) if self.value is not None else "—"
+        # ASCII placeholder: TextDrawer renders via cv2 Hershey fonts, which
+        # draw non-ASCII glyphs (an em dash) as "??" garbage
+        return osp.basename(str(self.value)) if self.value is not None else "(none)"
 
 
 class ImageDisplay(UIElement):

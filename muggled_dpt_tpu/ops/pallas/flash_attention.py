@@ -239,8 +239,12 @@ def fused_qkv_supported(
     # unbiased q-blocked feasibility at the 256-row block FLOOR: small head
     # dims force large hpp (e.g. d=16 -> hpp=8), whose floored logit tiles
     # can exceed physical VMEM at large N — refuse so the serving dispatch
-    # falls back to the (B,N,H,D) wrapper instead of a Mosaic compile error
-    min_tile = hpp * ONE_PASS_MIN_BLOCK_Q * n_pad * 4
+    # falls back to the (B,N,H,D) wrapper instead of a Mosaic compile error.
+    # Worst-case tile matches the kernel's assert: the logit tile spans
+    # n_pad_q = round_up(n_pad, block_q) columns, not n_pad — without the
+    # round_up a config within ~2 MB of the budget could pass the gate yet
+    # trip the runtime assert instead of falling back.
+    min_tile = hpp * ONE_PASS_MIN_BLOCK_Q * _round_up(n_pad, ONE_PASS_MIN_BLOCK_Q) * 4
     return min_tile + 16 * 1024 * 1024 <= _FUSED_VMEM_BUDGET
 
 
@@ -560,6 +564,24 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
                     block_q, best_pad = cand, padded
         block_q = min(block_q, n_pad128)
         n_pad_q = _round_up(n, block_q)
+        # Scoped-VMEM budget for this program: the (block_q, n_pad) f32 logit
+        # tile + (biased) double-buffered bias blocks + K/V residency margin.
+        # Mirrors the fused-qkv path: over-budget f32 biases are carried in
+        # bf16 (the serving aux caches are bf16 already), and if the estimate
+        # still exceeds the physical budget — only reachable with an f32 bias
+        # at n_pad ≳ 29k, i.e. ~2700px+ BEiT inputs — fall back to the online
+        # kernel instead of failing Mosaic compilation.
+        vmem_need = block_q * n_pad128 * 4 + 16 * 1024 * 1024
+        if bias is not None:
+            bias_db = 2 * block_q * n_pad128 * bias.dtype.itemsize
+            if bias.dtype.itemsize > 2 and vmem_need + bias_db > 80 * 1024 * 1024:
+                bias = bias.astype(jnp.bfloat16)
+                bias_db //= 2
+            vmem_need += bias_db
+            if vmem_need > _FUSED_VMEM_BUDGET and one_pass is not True:
+                return _flash_bhnd_prescaled(
+                    q, k, v, bias, interpret=interpret, one_pass=False
+                )
         exp2_domain = bias is None  # biased logits stay in natural-exp units
         if exp2_domain:
             q = (q.astype(jnp.float32) * LOG2E).astype(q.dtype)
@@ -585,8 +607,12 @@ def _flash_bhnd_prescaled(q, k, v, bias=None, block_q=None, block_k=None, interp
         kwargs = {}
         if _HAS_PLTPU and not interpret:
             # the (block_q, n_pad) f32 logit tile alone reaches 16 MiB at
-            # N=2048 — raise the scoped-VMEM budget like the fused-qkv path
-            kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            # N=2048 — raise the scoped-VMEM budget like the fused-qkv path,
+            # scaled with the actual tile need (biased large-N programs pass
+            # 100 MB)
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=max(100 * 1024 * 1024, vmem_need)
+            )
         out = pl.pallas_call(
             kernel,
             grid=grid,

@@ -76,7 +76,20 @@ def test_fused_qkv_bias_stack_lowers():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n,biased", [(1297, False), (1026, True), (2917, False)])
+@pytest.mark.parametrize(
+    "n,biased",
+    [
+        (1297, False),
+        (1026, True),
+        (2917, False),
+        # biased q-blocked regime: since ONE_PASS_MAX_KV went to 32768 the
+        # plain one-pass kernel serves BIASED large-N calls too (BEiT grids
+        # past the fused gate's whole-N VMEM ceiling), with the 256-row-floor
+        # block_q and sliced bias blocks — lower it like the unbiased ladder
+        (2917, True),
+        (10405, True),
+    ],
+)
 def test_flash_attention_lowers(n, biased):
     from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention
 
