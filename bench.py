@@ -114,6 +114,11 @@ def main():
         help="Bench batched inference sharded over an N-chip data mesh instead of the single-chip default",
     )
     ap.add_argument("--iters", type=int, default=None, help="Measurement window (frames); default 200 / 50 for dp")
+    ap.add_argument(
+        "--batch", type=int, default=1, metavar="B",
+        help="Frames per dispatch on the single chip (device-resident batch; fps = B * dispatches/s). "
+             "The batch-vs-fps/chip curve lives in docs/performance.md; tools/batch_sweep.py measures it",
+    )
     args = ap.parse_args()
 
     ensure_backend_reachable(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600")))
@@ -160,20 +165,26 @@ def main():
         )
         return
 
-    # stage the frame in device memory once; full e2e = on-device prep + model
-    frame_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
+    # stage the frame(s) in device memory once; full e2e = on-device prep + model
+    rgb = np.ascontiguousarray(image_bgr[..., ::-1])
+    if args.batch > 1:
+        rgb = np.broadcast_to(rgb, (args.batch, *rgb.shape))
+    frame_dev = jax.device_put(jnp.asarray(rgb))
     run_one = lambda: model.inference_rgb_device(frame_dev, scaled_hw)
 
     # warmup / compile with a full readback (validates the whole path)
     np.asarray(run_one())
 
-    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters or 200)
+    iters = args.iters or max(200 // args.batch, 25)
+    fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=iters) * args.batch
     baseline_fps = 1000.0 / 34.0  # reference DA ViT-L fp16 @ 504^2
 
+    batch_note = f", batch {args.batch}" if args.batch > 1 else ""
     print(
         json.dumps(
             {
-                "metric": "DA-V2 ViT-L depth fps/chip @ 518 max-side (504x504), on-device prep+model, device-resident frame",
+                "metric": "DA-V2 ViT-L depth fps/chip @ 518 max-side (504x504), "
+                          f"on-device prep+model, device-resident frame{batch_note}",
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / baseline_fps, 3),

@@ -57,10 +57,13 @@ class DPTModel:
             with jax.default_matmul_precision(precision) if precision else _nullcontext():
                 return fwd(params, image_nhwc, aux)
 
-        def _prep(image_hw3_f32, scaled_hw):
+        def _prep(image_f32, scaled_hw):
             # resize (bilinear antialias, on 0..255 floats) then normalize —
-            # exact order of the reference (v2 patch_embed.py:103-145)
-            x = image_hw3_f32[None]
+            # exact order of the reference (v2 patch_embed.py:103-145).
+            # Accepts a single (H, W, 3) frame or a (B, H, W, 3) batch —
+            # rank is static at trace time, so both compile to the same
+            # batched program shape-for-shape (batched serving, bench --batch)
+            x = image_f32 if image_f32.ndim == 4 else image_f32[None]
             x = resize_2d(x, scaled_hw, mode="bilinear", align_corners=False, antialias=True)
             x = (x / 255.0 - self._mean) / self._std
             return x.astype(self._dtype)
@@ -201,9 +204,10 @@ class DPTModel:
     def inference_rgb_device(self, image_rgb_hw3, scaled_hw: tuple[int, int]):
         """Public entry for the fused on-device prep+forward program used by
         benchmarking and streaming callers: takes an RGB uint8 (H, W, 3) array
-        (ideally already device-resident via jax.device_put) and a precomputed
-        (h, w) from compute_scaled_hw, returns depth (1, h', w'). Equivalent to
-        `inference` minus the host-side BGR flip and sizing math."""
+        — or a (B, H, W, 3) batch of frames — (ideally already device-resident
+        via jax.device_put) and a precomputed (h, w) from compute_scaled_hw,
+        returns depth (B, h', w'). Equivalent to `inference` minus the
+        host-side BGR flip and sizing math."""
         p = self.patch_size_px
         aux = self._get_aux((scaled_hw[0] // p, scaled_hw[1] // p))
         return self._infer_jit(self.params, image_rgb_hw3, scaled_hw, aux)
