@@ -35,7 +35,13 @@ def main():
     # staged experiment grid — keeps a staged sweep inside a short TPU window
     staged_only = "--staged-only" in args
     with_staged = "--staged" in args or staged_only
-    ns = [int(a) for a in args if not a.startswith("--")] or [5477, 10405, 18497]
+    # --xl: the round-5 XL-variant grid (experiments/flash_attention_xl.py):
+    # fused-qkv anchor + cross-chain pipelining / qp pairing / the no-softmax
+    # ablation that prices the VPU bill for the roofline verdict
+    xl_only = "--xl" in args
+    ns = [int(a) for a in args if not a.startswith("--")] or (
+        [10405, 18497] if xl_only else [5477, 10405, 18497]
+    )
     h, d = 16, 64  # ViT-L heads; BH=16 per batch-1 frame
     rng = np.random.default_rng(0)
     for n in ns:
@@ -54,6 +60,37 @@ def main():
             return (o + x * jnp.bfloat16(1e-6)).astype(x.dtype)
 
         print(f"\nN={n} (BH={h}, D={d}):")
+        if xl_only:
+            # anchor (the production q-blocked fused-qkv kernel) + variants
+            from muggled_dpt_tpu.ops.pallas.flash_attention import flash_attention_fused_qkv
+            from experiments.flash_attention_xl import flash_attention_fused_qkv_xl
+
+            qkv = jnp.asarray(rng.standard_normal((1, n, 3 * h * d)), jnp.bfloat16)
+
+            def make_xl_fn(call):
+                def fn(x):
+                    o = call(x)
+                    return (x + jnp.pad(o, ((0, 0), (0, 0), (0, 2 * h * d))) * jnp.bfloat16(1e-6)).astype(x.dtype)
+                return fn
+
+            cases = [
+                ("anchor (production fused-qkv)", lambda x: flash_attention_fused_qkv(x, h)),
+                ("xl qp=1 seq (anchor-equiv)", lambda x: flash_attention_fused_qkv_xl(x, h, qp=1, pipelined=False)),
+                ("xl qp=1 pipelined", lambda x: flash_attention_fused_qkv_xl(x, h, qp=1, pipelined=True)),
+                ("xl qp=2 pipelined", lambda x: flash_attention_fused_qkv_xl(x, h, qp=2, pipelined=True)),
+                ("xl qp=2 seq", lambda x: flash_attention_fused_qkv_xl(x, h, qp=2, pipelined=False)),
+                ("xl qp=4 pipelined bq=128", lambda x: flash_attention_fused_qkv_xl(x, h, qp=4, block_q=128, pipelined=True)),
+                ("xl hpp=4 pipelined", lambda x: flash_attention_fused_qkv_xl(x, h, hpp=4, pipelined=True)),
+                ("xl ABLATION no-softmax", lambda x: flash_attention_fused_qkv_xl(x, h, ablate_softmax=True)),
+                ("xl ABLATION no-sm qp=2 pl", lambda x: flash_attention_fused_qkv_xl(x, h, qp=2, pipelined=True, ablate_softmax=True)),
+            ]
+            for label, call in cases:
+                try:
+                    t = timeit_chain(make_xl_fn(call), qkv)
+                    print(f"  {label:32s} {t*1e3:8.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"  {label:32s} failed: {type(e).__name__}: {str(e)[:100]}")
+            continue
         if not staged_only:
             try:
                 t = timeit_chain(xla_fn, q)
