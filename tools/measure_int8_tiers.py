@@ -41,6 +41,10 @@ def main():
     which = ap.add_mutually_exclusive_group()
     which.add_argument("--vitl-only", action="store_true", help="skip the ~30-min giant build")
     which.add_argument("--giant-only", action="store_true", help="measure only the giant")
+    which.add_argument("--swinv2-only", action="store_true",
+                       help="SwinV2-L-384: the MLP-only int8 subset vs bf16 (the tier's qkv/proj "
+                            "exclusion for this family is by design, dpt.py:quantize_encoder_int8 — "
+                            "this row is the measurement behind that call)")
     ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
     ap.add_argument("--sizes", type=int, nargs="+", default=[518], help="max-side px per measurement")
     args = ap.parse_args()
@@ -54,6 +58,24 @@ def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (720, 1280, 3), np.uint8)
+
+    if args.swinv2_only:
+        from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
+
+        m = make_swinv2_dpt(
+            features_per_stage=(192, 384, 768, 1536), heads_per_stage=(6, 12, 24, 48),
+            layers_per_stage=(2, 2, 18, 2), base_patch_grid_hw=(96, 96),
+            window_size_hw=(24, 24), pretrained_window_sizes_per_stage=(12, 12, 12, 6),
+            fusion_channels=256, dtype=jnp.bfloat16,
+        )
+        scaled_hw = m.compute_scaled_hw(img.shape[:2], 384, True)
+        frame = jax.device_put(jnp.asarray(np.ascontiguousarray(img[..., ::-1])))
+        for tier, model in (("bf16 dense", m), ("int8 MLP-only", m.quantize_encoder_int8())):
+            run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
+            np.asarray(run_one())
+            ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters)
+            print(f"swinv2 {tier:22s} @384   {ms:7.2f} ms", flush=True)
+        return
 
     names = ["vitl"] if args.vitl_only else ["giant"] if args.giant_only else ["vitl", "giant"]
     for name in names:
