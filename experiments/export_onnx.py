@@ -12,12 +12,14 @@ export_onnx.py:181-197).
 
 By default the artifact is shape-specialized: export one file per input size
 you serve. Input is the normalized (1, 3, H, W) float32 tensor; output is
-depth (1, H', W'). With --dynamic (Depth-Anything families only), the export
+depth (1, H', W'). With --dynamic (Depth-Anything + BEiT), the export
 declares dynamic batch/height/width axes like the reference's dynamic_axes
 export (reference experiments/export_onnx.py:117-130) — one artifact serves
-any tiling-aligned size; BEiT/SwinV2 stay fixed-shape because their relpos
-bias / shift-mask tensors are grid-baked (the same restriction the reference
-hits for SwinV2, reference experiments/README.md:87).
+any tiling-aligned size; for BEiT the relpos LUT resize + relative-index
+gather move in-graph (emit_dpt.py:_beit_dynamic_bias_setup). SwinV2 stays
+fixed-shape because its window plan / shift masks / CPB tables are
+grid-baked — the same restriction the reference hits
+(reference experiments/README.md:87).
 
 Scope: all four families — Depth-Anything (V1/V2/metric/giant), MiDaS-v3.1
 BEiT, and MiDaS-v3.1 SwinV2. The StableHLO path (experiments/export_model.py)
@@ -81,10 +83,10 @@ def main():
     side = args.base_size_px or model.default_size_px
     h, w = model.compute_scaled_hw((side, side), side, True)
     if args.dynamic:
-        if family != "DinoV2Config":
+        if family == "SwinV2Config":
             raise SystemExit(
-                f"--dynamic is only supported for the Depth-Anything families "
-                f"(got {family!r}: grid-baked bias/mask tensors require fixed shapes)"
+                "--dynamic is not supported for SwinV2 (grid-baked window plan / shift "
+                "masks / CPB tables — the reference's own limitation, experiments/README.md:87)"
             )
         print(f"Emitting ONNX with dynamic batch/height/width axes (opset 17); parity-checked at {h}x{w}")
         onnx_bytes = emit(model, dynamic=True)

@@ -112,13 +112,14 @@ def _squeeze(g: GraphBuilder, x: str, axis: int) -> str:
     return g.op("Squeeze", [x, g.init("sq_axes", np.asarray([axis], np.int64))])
 
 
-def _attention(g: GraphBuilder, x: str, bp: dict, heads: int, c: int, bias: np.ndarray | None = None) -> str:
+def _attention(g: GraphBuilder, x: str, bp: dict, heads: int, c: int, bias=None) -> str:
     """Fused-QKV self-attention with the head-major column layout
     (ops/nn.py:self_attention; checkpoints/convert_common.py:qkv_head_major).
-    bias: optional (1, H, N, N) additive logit bias, baked as an initializer
-    (BEiT's relative-position bias, ops/nn.py:sdpa). Shape-agnostic over batch
-    and token count (0/-1 Reshapes + Squeeze), so the same emitter serves the
-    fixed-shape and dynamic-axes graphs."""
+    bias: optional (1, H, N, N) additive logit bias — a numpy array baked as
+    an initializer (BEiT fixed-shape export, ops/nn.py:sdpa) or the NAME of a
+    graph tensor computed at runtime (BEiT dynamic export). Shape-agnostic
+    over batch and token count (0/-1 Reshapes + Squeeze), so the same emitter
+    serves the fixed-shape and dynamic-axes graphs."""
     d = c // heads
     qkv = _linear(g, x, _np(bp["qkv_kernel"]), _np(bp["qkv_bias"]), "qkv")
     qkv = _reshape(g, qkv, [0, -1, heads, 3, d])
@@ -133,7 +134,8 @@ def _attention(g: GraphBuilder, x: str, bp: dict, heads: int, c: int, bias: np.n
     kt = g.op("Transpose", [k], perm=[0, 1, 3, 2])  # (B, H, D, N)
     logits = g.op("MatMul", [q, kt])  # (B, H, N, N)
     if bias is not None:
-        logits = g.op("Add", [logits, g.init("attn_bias", np.asarray(bias, np.float32))])
+        bias_name = bias if isinstance(bias, str) else g.init("attn_bias", np.asarray(bias, np.float32))
+        logits = g.op("Add", [logits, bias_name])
     weights = g.op("Softmax", [logits], axis=-1)
     out = g.op("MatMul", [weights, v])  # (B, H, N, D)
     out = g.op("Transpose", [out], perm=[0, 2, 1, 3])
@@ -236,7 +238,19 @@ def _emit_neck(g: GraphBuilder, model, stage_tokens, c: int, gh: int, gw: int, r
             # (dpt_neck.py:readout_project; v31_beit readout_projection.py:55-83)
             patches = _slice(g, tok, [1], [_I32MAX], [1])
             cls = _slice(g, tok, [0], [1], [1])
-            cls_e = g.op("Expand", [cls, g.init(f"re{si}_cls_shape", np.asarray([1, gh * gw, c], np.int64))])
+            if dyn:
+                # (B, A, C) target shape assembled at runtime from the patch
+                # grid: B from the Shape tensor, A = gh*gw
+                b1 = _slice(g, grid_shape, [0], [1], [0])
+                gh1 = _slice(g, grid_shape, [2], [3], [0])
+                gw1 = _slice(g, grid_shape, [3], [4], [0])
+                a1 = g.op("Mul", [gh1, gw1])
+                shape = g.op(
+                    "Concat", [b1, a1, g.init(f"re{si}_cls_c", np.asarray([c], np.int64))], axis=0
+                )
+                cls_e = g.op("Expand", [cls, shape])
+            else:
+                cls_e = g.op("Expand", [cls, g.init(f"re{si}_cls_shape", np.asarray([1, gh * gw, c], np.int64))])
             merged = g.op("Concat", [patches, cls_e], axis=-1)
             ro = params["reassemble"][si]["readout"]
             t = _gelu_erf(g, _linear(g, merged, _np(ro["kernel"]), _np(ro["bias"]), f"re{si}_readout"))
@@ -420,40 +434,162 @@ def emit_depth_anything_onnx(model, image_hw: tuple[int, int] | None = None, dyn
     return g.serialize(opset=17, doc=doc)
 
 
-def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
+def _beit_dynamic_bias_setup(g: GraphBuilder, relpos_lut: np.ndarray, base_grid_hw, heads: int, grid_shape: str):
+    """Emit the grid-dependent relative-position machinery IN-GRAPH for the
+    dynamic BEiT export — the runtime analog of models/beit.py:
+    compute_bias_stack (reference relative_positional_encoder.py:242-309):
+
+    * the token LUT's bilinear rescale to (2gh-1, 2gw-1) becomes a runtime
+      Resize (mode=linear, pytorch_half_pixel — torch-default bilinear,
+      align_corners=False, the exact mode the reference uses at :290);
+    * the deterministic (N-1, N-1) relative-index matrix
+      (relative_positional_encoder.py:117-238) is built from Range/Sub/Mul
+      over the runtime grid dims;
+    * per block, the bias is assembled as Gather(LUT, index) for the
+      token-token body plus the 3 special cls rows/columns concatenated as
+      borders (same final state as the reference's index writes).
+
+    Returns (full_lut, specials, idx_tok, a1) graph-tensor names:
+    full_lut (L, H, R') resized+flattened LUT, specials (L, H, 3), idx_tok
+    (A, A) int64, a1 the 1-element [A] tensor."""
+    num_layers = relpos_lut.shape[0]
+    bh, bw = base_grid_hw
+    ref_h, ref_w = 2 * bh - 1, 2 * bw - 1
+    # token part as an (L, H, ref_h, ref_w) image for Resize; specials kept
+    # separate, unresized (compute_bias_stack concatenates them back after)
+    lut = np.asarray(relpos_lut, np.float32)  # (L, R, H)
+    token4 = lut[:, : ref_h * ref_w, :].reshape(num_layers, ref_h, ref_w, heads).transpose(0, 3, 1, 2)
+    specials = lut[:, ref_h * ref_w :, :].transpose(0, 2, 1)  # (L, H, 3)
+    token_init = g.init("relpos_lut_grid", np.ascontiguousarray(token4))
+    specials_name = g.init("relpos_specials", np.ascontiguousarray(specials))
+
+    i64 = lambda hint, v: g.init(hint, np.asarray(v, np.int64))
+    gh1 = _slice(g, grid_shape, [2], [3], [0])
+    gw1 = _slice(g, grid_shape, [3], [4], [0])
+    two = i64("i64_two", [2])
+    one = i64("i64_one", [1])
+    new_h = g.op("Sub", [g.op("Mul", [gh1, two]), one])  # [2gh-1]
+    new_w = g.op("Sub", [g.op("Mul", [gw1, two]), one])
+    sizes = g.op("Concat", [i64("lut_lh", [num_layers, heads]), new_h, new_w], axis=0)
+    lut_r = g.op(
+        "Resize", [token_init, "", "", sizes], mode="linear",
+        coordinate_transformation_mode="pytorch_half_pixel",
+    )
+    lut_flat = _reshape(g, lut_r, [0, 0, -1])  # (L, H, newR)
+    full_lut = g.op("Concat", [lut_flat, specials_name], axis=2)  # (L, H, newR+3)
+
+    # relative index over the A = gh*gw patch tokens:
+    # idx[(yq,xq),(yk,xk)] = (yq-yk+gh-1)*(2gw-1) + (xq-xk+gw-1)
+    zero_s = g.init("i64_zero_s", np.asarray(0, np.int64))
+    one_s = g.init("i64_one_s", np.asarray(1, np.int64))
+    ys = g.op("Range", [zero_s, _squeeze(g, gh1, 0), one_s])  # (gh,)
+    xs = g.op("Range", [zero_s, _squeeze(g, gw1, 0), one_s])  # (gw,)
+    y_col = _reshape(g, ys, [-1, 1])
+    x_row = _reshape(g, xs, [1, -1])
+    zero_like_row = g.op("Mul", [x_row, zero_s])
+    zero_like_col = g.op("Mul", [y_col, zero_s])
+    y_flat = _reshape(g, g.op("Add", [y_col, zero_like_row]), [-1])  # (A,)
+    x_flat = _reshape(g, g.op("Add", [zero_like_col, x_row]), [-1])
+    rel_y = g.op("Sub", [_reshape(g, y_flat, [-1, 1]), _reshape(g, y_flat, [1, -1])])
+    rel_x = g.op("Sub", [_reshape(g, x_flat, [-1, 1]), _reshape(g, x_flat, [1, -1])])
+    gh_m1 = g.op("Sub", [gh1, one])
+    gw_m1 = g.op("Sub", [gw1, one])
+    idx_tok = g.op(
+        "Add",
+        [g.op("Mul", [g.op("Add", [rel_y, gh_m1]), new_w]), g.op("Add", [rel_x, gw_m1])],
+    )  # (A, A) int64
+    a1 = g.op("Mul", [gh1, gw1])  # [A]
+    return full_lut, specials_name, idx_tok, a1
+
+
+def _beit_dynamic_bias_block(g: GraphBuilder, full_lut: str, specials: str, idx_tok: str, a1: str, layer: int, heads: int) -> str:
+    """Assemble block `layer`'s (1, H, N, N) bias at runtime: Gather the
+    token-token body by the relative index, then concatenate the cls borders
+    from the 3 special LUT rows (cls->token row, token->cls column, cls->cls
+    corner — relative_positional_encoder.py:117-238 writes the same values
+    through index sentinels)."""
+    i64 = lambda hint, v: g.init(hint, np.asarray(v, np.int64))
+    lut_i = _slice(g, full_lut, [layer], [layer + 1], [0])  # (1, H, R')
+    body = g.op("Gather", [lut_i, idx_tok], axis=2)  # (1, H, A, A)
+    sp_i = _slice(g, specials, [layer], [layer + 1], [0])  # (1, H, 3)
+    s_c2t = _reshape(g, _slice(g, sp_i, [0], [1], [2]), [1, heads, 1, 1])
+    s_t2c = _reshape(g, _slice(g, sp_i, [1], [2], [2]), [1, heads, 1, 1])
+    s_c2c = _reshape(g, _slice(g, sp_i, [2], [3], [2]), [1, heads, 1, 1])
+    row_shape = g.op("Concat", [i64(f"b{layer}_row_lh", [1, heads, 1]), a1], axis=0)
+    row0 = g.op("Concat", [s_c2c, g.op("Expand", [s_c2t, row_shape])], axis=3)  # (1, H, 1, N)
+    col_shape = g.op("Concat", [i64(f"b{layer}_col_lh", [1, heads]), a1, i64(f"b{layer}_col_one", [1])], axis=0)
+    col0 = g.op("Expand", [s_t2c, col_shape])  # (1, H, A, 1)
+    rows = g.op("Concat", [col0, body], axis=3)  # (1, H, A, N)
+    return g.op("Concat", [row0, rows], axis=2)  # (1, H, N, N)
+
+
+def emit_beit_onnx(model, image_hw: tuple[int, int] | None = None, dynamic: bool = False) -> bytes:
     """Build the ONNX ModelProto bytes for a MiDaS-v3.1 BEiT `DPTModel`.
 
-    The per-layer relative-position bias (models/beit.py:compute_bias_stack)
-    is evaluated for this grid at export time and baked as one (1, H, N, N)
-    initializer per block — exactly the tensor the enable_cache path caches,
-    unpadded. Artifact size grows as L*H*N^2 floats (models/beit.py:81)."""
+    Fixed-shape mode (default): the per-layer relative-position bias
+    (models/beit.py:compute_bias_stack) is evaluated for this grid at export
+    time and baked as one (1, H, N, N) initializer per block — exactly the
+    tensor the enable_cache path caches, unpadded. Artifact size grows as
+    L*H*N^2 floats (models/beit.py:81).
+
+    dynamic=True: the analog of the reference's dynamic-axes BEiT export
+    (reference experiments/export_onnx.py:117-130 covers BEiT; only SwinV2
+    is fixed-size there, experiments/README.md:87). The input is declared
+    ("batch", 3, "height", "width") and every grid-dependent computation
+    moves in-graph — the LUT bilinear rescale becomes a runtime Resize, the
+    relative-index matrix is built from Range ops, and each block's bias is
+    a runtime Gather + cls-border Concat (see _beit_dynamic_bias_setup).
+    image_hw is ignored; feeds must satisfy the BEiT tiling constraint
+    (H, W multiples of 2*patch = 32 px — DPTModel.verify_input). The
+    artifact stays small (the LUT is the only positional initializer) but
+    the runtime pays the per-block gather the fixed-shape export bakes."""
     from ..models.beit import BEiTConfig, compute_bias_stack
 
     params = model.params
     cfg: BEiTConfig = model.spec["encoder_config"]
-    ih, iw = int(image_hw[0]), int(image_hw[1])
     p_px = model.patch_size_px
-    assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
-    gh, gw = ih // p_px, iw // p_px
     c = cfg.features
     heads = cfg.num_heads
     d = c // heads
-    n = gh * gw + 1
 
-    bias_stack = np.asarray(
-        compute_bias_stack(
-            np.asarray(params["encoder"]["blocks"]["relpos_lut"], np.float32),
-            cfg.base_grid_hw, (gh, gw),
-        ),
-        np.float32,
-    )  # (L, H, N, N)
+    g = GraphBuilder("beit_dpt_dynamic" if dynamic else "beit_dpt")
+    grid_shape = None
+    if dynamic:
+        x = g.add_input("image", ("batch", 3, "height", "width"))
+        gh = gw = 0  # static bookkeeping unused on the dynamic path
+    else:
+        ih, iw = int(image_hw[0]), int(image_hw[1])
+        assert ih % p_px == 0 and iw % p_px == 0, "image_hw must be patch-aligned (compute_scaled_hw)"
+        gh, gw = ih // p_px, iw // p_px
+        bias_stack = np.asarray(
+            compute_bias_stack(
+                np.asarray(params["encoder"]["blocks"]["relpos_lut"], np.float32),
+                cfg.base_grid_hw, (gh, gw),
+            ),
+            np.float32,
+        )  # (L, H, N, N)
+        x = g.add_input("image", (1, 3, ih, iw))
 
-    g = GraphBuilder("beit_dpt")
-    x = g.add_input("image", (1, 3, ih, iw))
     x = _conv(g, x, _np(params["patch_embed"]["kernel"]), _np(params["patch_embed"]["bias"]), "patch_embed", stride=p_px)
-    x = _reshape(g, x, [1, c, gh * gw])
-    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (1, N-1, C)
-    x = g.op("Concat", [g.init("cls_token", _np(params["encoder"]["cls_token"]).reshape(1, 1, c)), x], axis=1)
+    if dynamic:
+        grid_shape = g.op("Shape", [x])  # int64 [B, C, gh, gw]
+        x = _reshape(g, x, [0, c, -1])
+    else:
+        x = _reshape(g, x, [1, c, gh * gw])
+    x = g.op("Transpose", [x], perm=[0, 2, 1])  # (B, N-1, C)
+
+    cls_init = g.init("cls_token", _np(params["encoder"]["cls_token"]).reshape(1, 1, c))
+    if dynamic:
+        b1 = _slice(g, grid_shape, [0], [1], [0])
+        cls_shape = g.op("Concat", [b1, g.init("cls_tail", np.asarray([1, c], np.int64))], axis=0)
+        cls_init = g.op("Expand", [cls_init, cls_shape])
+    x = g.op("Concat", [cls_init, x], axis=1)
+
+    if dynamic:
+        full_lut, specials, idx_tok, a1 = _beit_dynamic_bias_setup(
+            g, np.asarray(params["encoder"]["blocks"]["relpos_lut"], np.float32),
+            cfg.base_grid_hw, heads, grid_shape,
+        )
 
     stacked = params["encoder"]["blocks"]
     taps = tuple((cfg.num_blocks // 4) * (i + 1) - 1 for i in range(4))
@@ -471,7 +607,11 @@ def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
             axis=1,
         ).reshape(3 * c)
         bp_attn = dict(bp, qkv_bias=qkv_bias)
-        h = _attention(g, h, bp_attn, heads, c, bias=bias_stack[i : i + 1])
+        if dynamic:
+            bias_i = _beit_dynamic_bias_block(g, full_lut, specials, idx_tok, a1, i, heads)
+        else:
+            bias_i = bias_stack[i : i + 1]
+        h = _attention(g, h, bp_attn, heads, c, bias=bias_i)
         h = g.op("Mul", [h, g.init(f"b{i}_ls1", _np(bp["ls1"]))])
         x = g.op("Add", [x, h])
         h = _layer_norm(g, x, bp["norm2_scale"], bp["norm2_bias"], f"b{i}_ln2")
@@ -481,12 +621,17 @@ def emit_beit_onnx(model, image_hw: tuple[int, int]) -> bytes:
         if i in taps:
             stage_tokens.append(x)  # no output norm (models/beit.py:183-186)
 
-    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="project")
-    g.add_output(x, (1, out_hw[0], out_hw[1]))
-    return g.serialize(
-        opset=17,
-        doc=f"MiDaS v3.1 BEiT DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})",
-    )
+    x, out_hw = _emit_neck(g, model, stage_tokens, c, gh, gw, readout="project", grid_shape=grid_shape)
+    if dynamic:
+        g.add_output(x, ("batch", "out_height", "out_width"))
+        doc = (
+            f"MiDaS v3.1 BEiT DPT, dynamic input (batch,3,height,width), height/width "
+            f"multiples of {2 * p_px}, normalized RGB; depth (batch,out_height,out_width)"
+        )
+    else:
+        g.add_output(x, (1, out_hw[0], out_hw[1]))
+        doc = f"MiDaS v3.1 BEiT DPT, fixed input (1,3,{ih},{iw}), normalized RGB; depth (1,{out_hw[0]},{out_hw[1]})"
+    return g.serialize(opset=17, doc=doc)
 
 
 def _swin_window_attention(g: GraphBuilder, x: str, bp: dict, heads: int, grid_hw, window_hw, shift_hw, shifting: bool, cpb: np.ndarray, mask, hint: str) -> str:

@@ -107,15 +107,18 @@ def _resize_cubic_2d(x, out_hw, ctm: str, a: float):
     return y.astype(x.dtype)
 
 
-def _resize_linear_2d(x, out_hw, align_corners: bool):
+def _resize_linear_2d(x, out_hw, ctm: str):
     n, c, h, w = x.shape
     oh, ow = out_hw
 
     def src(i, out_len, in_len):
         i = np.asarray(i, np.float64)
-        if align_corners:
+        if ctm == "align_corners":
             return i * (in_len - 1) / max(out_len - 1, 1)
-        # half_pixel
+        if ctm == "pytorch_half_pixel" and out_len <= 1:
+            # torch's rule maps a length-1 output axis to source 0
+            return np.zeros_like(i)
+        # half_pixel (and pytorch_half_pixel for out_len > 1)
         return np.clip((i + 0.5) * in_len / out_len - 0.5, 0, in_len - 1)
 
     ys = src(np.arange(oh), oh, h)
@@ -267,13 +270,18 @@ def evaluate_model(model: dict | bytes, feeds: dict[str, np.ndarray]) -> dict[st
                     int(np.floor(ins[0].shape[3] * float(scales[3]))),
                 )
             if mode == "linear":
-                y = _resize_linear_2d(ins[0], out_hw, ctm == "align_corners")
+                y = _resize_linear_2d(ins[0], out_hw, ctm)
             elif mode == "cubic":
                 y = _resize_cubic_2d(ins[0], out_hw, ctm, float(a.get("cubic_coeff_a", -0.75)))
             else:
                 raise NotImplementedError(f"Resize mode {mode!r}")
         elif op == "Expand":
             y = ins[0] * np.ones([int(d) for d in ins[1]], dtype=ins[0].dtype)
+        elif op == "Range":
+            start, limit, delta = (np.asarray(v).reshape(()).item() for v in ins[:3])
+            y = np.arange(start, limit, delta)
+        elif op == "Gather":
+            y = np.take(ins[0], ins[1], axis=int(a.get("axis", 0)))
         elif op == "Identity":
             y = ins[0]
         elif op == "Constant":

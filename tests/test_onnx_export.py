@@ -260,3 +260,37 @@ def test_emitted_dav1_dynamic_axes():
     (got,) = evaluate_model(data, {"image": x}).values()
     absrel = np.abs(got - want).mean() / max(np.abs(want).mean(), 1e-9)
     assert absrel < 2e-5, absrel
+
+
+def test_emitted_beit_dynamic_axes():
+    """Dynamic batch/height/width BEiT export (the reference exports BEiT with
+    dynamic_axes, reference experiments/export_onnx.py:117-130): ONE artifact
+    runs at multiple grids and batch>1. The relpos LUT bilinear rescale, the
+    (N-1, N-1) relative-index build and the per-block bias gather all move
+    in-graph (emit_dpt.py:_beit_dynamic_bias_setup)."""
+    from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+    m = make_beit_dpt(64, 4, 8, (8, 16, 32, 64), (6, 6), 16)
+    data = emit_beit_onnx(m, dynamic=True)
+
+    parsed = decode_message("ModelProto", data)
+    dims = parsed["graph"]["input"][0]["type"]["tensor_type"]["shape"]["dim"]
+    assert [d.get("dim_param", d.get("dim_value")) for d in dims] == ["batch", 3, "height", "width"]
+    odims = parsed["graph"]["output"][0]["type"]["tensor_type"]["shape"]["dim"]
+    assert all("dim_param" in d for d in odims)
+    names = {t["name"] for t in parsed["graph"]["initializer"]}
+    # the LUT rides along unbaked; no per-block baked (1, H, N, N) biases
+    assert any(n.startswith("relpos_lut_grid") for n in names)
+    assert not any(n.startswith("attn_bias") for n in names)
+
+    rng = np.random.default_rng(3)
+    # (96,96): base grid 6x6 (identity LUT resize); (96,128): non-square
+    # in-graph LUT rescale + relative-index rebuild; (64,64) batch 2:
+    # dynamic batch at a smaller grid
+    for b, hw in ((1, (96, 96)), (1, (96, 128)), (2, (64, 64))):
+        x = rng.standard_normal((b, 3, *hw)).astype(np.float32) * 0.5
+        want = np.asarray(m.forward(jnp.asarray(x)), np.float32)
+        (got,) = evaluate_model(data, {"image": x}).values()
+        assert got.shape == want.shape, (b, hw, got.shape, want.shape)
+        absrel = np.abs(got - want).mean() / max(np.abs(want).mean(), 1e-9)
+        assert absrel < 2e-5, (b, hw, absrel)
