@@ -75,6 +75,23 @@ def main():
         depth = np.asarray(m.inference(img))
         ok &= check(f"{name} smoke", np.isfinite(depth).all(), f"{depth.shape} in {time.perf_counter()-t0:.1f}s")
 
+    # batched serving entry on hardware (bench --batch / batch_sweep): a
+    # B=3 stack through one dispatch must match per-frame results on the
+    # CHIP's program (CPU tests cover the semantics; this catches any
+    # TPU-specific batched-layout compilation bug)
+    m_b = models[0][1]
+    rgb = np.ascontiguousarray(img[..., ::-1])
+    hw = m_b.compute_scaled_hw(img.shape[:2], None, True)
+    frames = np.stack([rgb, rgb[::-1].copy(), rgb])
+    db = np.asarray(m_b.inference_rgb_device(jnp.asarray(frames), hw), np.float32)
+    d0 = np.asarray(m_b.inference_rgb_device(jnp.asarray(rgb), hw), np.float32)[0]
+    absrel_b = float(np.abs(db[0] - d0).mean() / (np.abs(d0).mean() + 1e-12))
+    ok &= check(
+        "batched inference (B=3) vs single frame",
+        db.shape[0] == 3 and np.isfinite(db).all() and absrel_b < 2e-2 and (db[0] == db[2]).all(),
+        f"abs-rel {absrel_b:.2e}, dup rows equal {(db[0] == db[2]).all()}",
+    )
+
     # bf16-vs-f32 parity gate on hardware: the shipped default dtype is bf16;
     # quantify its end-to-end abs-rel against the f32 parity path per family
     # at a realistic input size. Round-3 diagnosis: the old 1.5e-2..4.8e-2
