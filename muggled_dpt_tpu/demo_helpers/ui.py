@@ -1405,6 +1405,170 @@ class ImmediateButton(UIElement):
             self.click()
 
 
+class ImmediateImageButton(UIElement):
+    """Momentary button that renders a user-supplied image instead of a text
+    label (reference toadui/buttons.py:429 ImmediateImageButton). The image
+    is aspect-fit into the bar (INTER_AREA, letterboxed on the background);
+    grayscale inputs are promoted to BGR. Click pops True from read() like
+    ImmediateButton; hovering draws the outline in the accent color."""
+
+    def __init__(self, image, height=None, outline=True):
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        self._img = img
+        self.height = int(height) if height is not None else int(img.shape[0]) + 8
+        self._outline = bool(outline)
+        self._clicked = False
+        self._hover = False
+        self._cache_w = -1
+        self._cache_thumb = None
+
+    def click(self):
+        self._clicked = True
+        return self
+
+    def read(self) -> bool:
+        clicked, self._clicked = self._clicked, False
+        return clicked
+
+    def _fit(self, width):
+        ih, iw = self._img.shape[:2]
+        scale = min(max(width - 8, 1) / iw, max(self.height - 8, 1) / ih)
+        tw, th = max(int(iw * scale), 1), max(int(ih * scale), 1)
+        return cv2.resize(self._img, (tw, th), interpolation=cv2.INTER_AREA)
+
+    def render(self, width):
+        if self._cache_w != width:
+            self._cache_w, self._cache_thumb = width, self._fit(width)
+        thumb = self._cache_thumb
+        img = np.full((self.height, width, 3), _BG, np.uint8)
+        th, tw = thumb.shape[:2]
+        y0, x0 = (self.height - th) // 2, (width - tw) // 2
+        img[y0 : y0 + th, x0 : x0 + tw] = thumb
+        if self._outline:
+            color = _ACCENT if self._hover else (80, 80, 80)
+            cv2.rectangle(img, (x0 - 2, y0 - 2), (x0 + tw + 1, y0 + th + 1), color, 1)
+        return img
+
+    def on_mouse(self, x, y, event, flags=0):
+        self._hover = True
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self.click()
+
+    def on_mouse_elsewhere(self):
+        self._hover = False
+
+
+class ToggleImageButton(ImmediateImageButton):
+    """Image button with a persistent on/off state (reference
+    toadui/buttons.py:159 ToggleImageButton). A distinct `toggle_image` is
+    shown while ON; without one the ON state is signalled by the accent
+    outline instead (the reference's show_outline_on_toggle default).
+    read() -> (changed, is_on), ToggleButton-compatible — usable inside a
+    RadioConstraint."""
+
+    def __init__(self, image, toggle_image=None, default=False, height=None):
+        super().__init__(image, height=height, outline=True)
+        self._imgs = {False: self._img, True: self._img}
+        self._has_toggle_img = toggle_image is not None
+        if self._has_toggle_img:
+            on_img = np.asarray(toggle_image)
+            if on_img.ndim == 2:
+                on_img = cv2.cvtColor(on_img, cv2.COLOR_GRAY2BGR)
+            self._imgs[True] = on_img
+        self._on = bool(default)
+        self._changed = False
+
+    def toggle(self, set_on=None):
+        self._on = (not self._on) if set_on is None else bool(set_on)
+        self._changed = True
+        return self._on
+
+    def read(self):
+        changed, self._changed = self._changed, False
+        return changed, self._on
+
+    @property
+    def is_on(self):
+        return self._on
+
+    def render(self, width):
+        img = self._imgs[self._on]
+        if img is not self._img or self._cache_w != width:
+            self._img, self._cache_w, self._cache_thumb = img, width, None
+            self._cache_thumb = self._fit(width)
+        out = np.full((self.height, width, 3), _BG, np.uint8)
+        thumb = self._cache_thumb
+        th, tw = thumb.shape[:2]
+        y0, x0 = (self.height - th) // 2, (width - tw) // 2
+        out[y0 : y0 + th, x0 : x0 + tw] = thumb
+        on_accent = self._on and not self._has_toggle_img
+        color = _ACCENT if (on_accent or self._hover) else (80, 80, 80)
+        cv2.rectangle(out, (x0 - 2, y0 - 2), (x0 + tw + 1, y0 + th + 1), color, 2 if on_accent else 1)
+        return out
+
+    def on_mouse(self, x, y, event, flags=0):
+        self._hover = True
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self.toggle()
+
+
+class RadioConstraint:
+    """Non-layout wrapper that enforces exactly-one-active across toggle
+    elements placed anywhere in a UI (reference toadui/buttons.py:547
+    RadioConstraint — unlike RadioBar the items need not share a row).
+    Works on anything ToggleButton-shaped: read() -> (changed, is_on),
+    toggle(set_on=...), .is_on. read() -> (changed, active_index,
+    active_item); the first read reports changed=True (forced initial
+    state), and toggling the active item off re-forces it on."""
+
+    def __init__(self, *items, initial_active_index: int = 0):
+        assert items, "RadioConstraint needs at least one item"
+        self._items = tuple(items)
+        self._idx = int(np.clip(initial_active_index, 0, len(items) - 1))
+        self._changed = True
+        self._enforce()
+
+    def __iter__(self):
+        return iter(self._items)
+
+    @property
+    def active_index(self):
+        return self._idx
+
+    def _enforce(self):
+        for i, item in enumerate(self._items):
+            if item.is_on != (i == self._idx):
+                item.toggle(set_on=(i == self._idx))
+                item.read()  # swallow the forced-change flag
+
+    def change_to(self, idx_or_item):
+        idx = (
+            self._items.index(idx_or_item)
+            if idx_or_item in self._items
+            else int(idx_or_item)
+        )
+        idx = int(np.clip(idx, 0, len(self._items) - 1))
+        if idx != self._idx:
+            self._idx, self._changed = idx, True
+            self._enforce()
+        return self
+
+    def read(self):
+        # the newest item toggled ON (other than the current) wins
+        new_idx = None
+        for i, item in enumerate(self._items):
+            changed, is_on = item.read()
+            if changed and is_on and i != self._idx:
+                new_idx = i
+        if new_idx is not None:
+            self._idx, self._changed = new_idx, True
+        self._enforce()
+        changed, self._changed = self._changed, False
+        return changed, self._idx, self._items[self._idx]
+
+
 class RadioBar(UIElement):
     """Row of mutually-exclusive options — exactly one active (reference
     toadui/buttons.py:678 RadioBar / :547 RadioConstraint).

@@ -282,3 +282,67 @@ def test_overlaystack_base_skips_overlay_owned_drag():
     stack.on_mouse(200, 30, cv2.EVENT_LBUTTONUP)
     assert list(ms.values) == before  # slider untouched
     assert not stack.wants_mouse()  # no stuck drag owner
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: image buttons + radio constraint (toadui/buttons.py
+# :159 ToggleImageButton, :429 ImmediateImageButton, :547 RadioConstraint)
+
+
+def test_immediate_image_button_click_and_letterbox():
+    from muggled_dpt_tpu.demo_helpers.ui import ImmediateImageButton
+
+    icon = np.full((20, 40, 3), 200, np.uint8)  # 2:1 aspect
+    b = ImmediateImageButton(icon, height=40)
+    frame = b.render(200)
+    assert frame.shape == (40, 200, 3)
+    # thumb is centered and aspect-preserved: widest fit is 32px tall x 64 wide
+    assert (frame[20, 100] == 200).all(), "image pixels visible at center"
+    assert b.read() is False
+    b.on_mouse(100, 20, cv2.EVENT_LBUTTONDOWN)
+    assert b.read() is True and b.read() is False  # popped
+    # grayscale input promotes to BGR
+    g = ImmediateImageButton(np.full((10, 10), 99, np.uint8))
+    assert g.render(60).shape[2] == 3
+
+
+def test_toggle_image_button_state_and_images():
+    from muggled_dpt_tpu.demo_helpers.ui import ToggleImageButton
+
+    off = np.full((16, 16, 3), 50, np.uint8)
+    on = np.full((16, 16, 3), 250, np.uint8)
+    b = ToggleImageButton(off, toggle_image=on, height=32)
+    assert b.read() == (False, False)
+    f_off = b.render(100)
+    b.on_mouse(50, 16, cv2.EVENT_LBUTTONDOWN)
+    assert b.read() == (True, True)
+    f_on = b.render(100)
+    assert int(f_on.sum()) > int(f_off.sum()), "distinct toggle image shown while ON"
+    # without a toggle image the ON state is the accent outline
+    b2 = ToggleImageButton(off, height=32, default=True)
+    assert b2.is_on and b2.render(100).any()
+    b2.toggle(set_on=False)
+    assert b2.read() == (True, False)
+
+
+def test_radio_constraint_enforces_one_active():
+    from muggled_dpt_tpu.demo_helpers.ui import RadioConstraint
+
+    a, b, c = ToggleButton("a"), ToggleButton("b", default=True), ToggleButton("c")
+    radio = RadioConstraint(a, b, c, initial_active_index=0)
+    changed, idx, item = radio.read()  # first read: forced initial state
+    assert changed and idx == 0 and item is a
+    assert a.is_on and not b.is_on and not c.is_on
+    # user toggles c on -> c wins, a forced off
+    c.toggle()
+    changed, idx, item = radio.read()
+    assert changed and idx == 2 and item is c and not a.is_on
+    # toggling the active item OFF re-forces it on (always exactly one)
+    c.toggle()
+    changed, idx, _ = radio.read()
+    assert not changed and idx == 2 and c.is_on
+    # programmatic change_to by item
+    radio.change_to(b)
+    changed, idx, item = radio.read()
+    assert changed and idx == 1 and item is b and not c.is_on
+    assert [x.is_on for x in radio] == [False, True, False]
