@@ -29,12 +29,15 @@ import jax.numpy as jnp
 
 
 def ensure_backend_reachable(timeout_s: int = 600) -> None:
-    """Fail fast with one honest JSON line if the device backend can't
+    """Fail with one honest JSON line if the device backend can't
     initialize. The axon TPU tunnel in this environment can drop (the relay
     is externally owned); a jax init then blocks forever in C code, which
     would hang the whole bench run. Probe in a subprocess with a bounded
     wait — the probe never gets past init when the tunnel is down, so
-    killing it cannot wedge an acquired device."""
+    killing it cannot wedge an acquired device. Relay wedges clear on a
+    ~minutes timescale (tools/hw_step_lib.sh), so instead of one long
+    probe the budget is spent as short probe / cooldown cycles — a bench
+    launched into a transient wedge still lands once the relay recovers."""
     # re-assert the env-requested platform through the config API: the axon
     # PJRT plugin in this environment overrides JAX_PLATFORMS (see
     # muggled_dpt_tpu/__init__.py), and a raw-jax probe would otherwise dial
@@ -46,16 +49,25 @@ def ensure_backend_reachable(timeout_s: int = 600) -> None:
         "import numpy as np, jax.numpy as jnp;"
         "np.asarray(jnp.ones((2, 2)).sum())"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", probe], timeout=timeout_s,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        if r.returncode == 0:
-            return
-        reason = f"backend probe exited rc={r.returncode}"
-    except subprocess.TimeoutExpired:
-        reason = f"backend init did not complete within {timeout_s}s (axon tunnel down?)"
+    deadline = time.monotonic() + timeout_s
+    reason = f"backend unreachable for {timeout_s}s (axon tunnel down?)"
+    while True:
+        per_probe = min(120.0, max(deadline - time.monotonic(), 15.0))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=per_probe,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return
+            reason = f"backend probe exited rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() + 120.0 >= deadline:
+            break
+        print(f"# backend unreachable; retrying ({int(deadline - time.monotonic())}s left)",
+              file=sys.stderr, flush=True)
+        time.sleep(60.0)
     print(json.dumps({
         "metric": "DA-V2 ViT-L depth fps/chip @ 518 max-side (504x504), on-device prep+model, device-resident frame",
         "value": None,
