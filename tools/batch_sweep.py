@@ -85,10 +85,11 @@ def main():
                     np.asarray(run_one())  # compile + full readback validation
                     iters = args.iters or max(200 // b, 16)
                     fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=iters) * b
-                    gain = "" if prev_fps is None else f"  ({fps / prev_fps:+.1%} vs prev B)"
+                    gain = "" if prev_fps is None else f"  ({fps / prev_fps - 1.0:+.1%} vs prev B)"
                     print(
                         f"{name:5s} {tier_name:9s} {mode_name:8s} B={b:<3d} "
-                        f"{1000.0 * b / fps:7.2f} ms/frame  {fps:7.1f} fps/chip{gain}",
+                        f"{1000.0 * b / fps:7.2f} ms/dispatch  {1000.0 / fps:6.2f} ms/frame  "
+                        f"{fps:7.1f} fps/chip{gain}",
                         flush=True,
                     )
                     prev_fps = fps
