@@ -219,7 +219,13 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
     if impl == "pallas" and not capture:
         from ..ops.pallas.window_attention import window_flash_available
 
-        use_kernel = window_flash_available()
+        # Round-5 per-op A/B (tools/window_ab.py, docs/performance.md): the
+        # fused kernel wins only where the window count gives its grid real
+        # parallelism — at Swin-L-384 stage shapes, nW=16 runs 2.1-2.2x
+        # FASTER than the XLA composite while nW=4 is ~2x slower and nW=1 up
+        # to 5x slower. Dispatch on the trace-time window count: kernel for
+        # many-window (early) stages, XLA einsum for the tail stages.
+        use_kernel = (nwy * nwx >= 8) and window_flash_available()
 
     if use_kernel:
         from ..ops.pallas.window_attention import window_flash_attention
