@@ -14,6 +14,11 @@ makes them negligible, as they are for the GPU baseline).
 Baseline: the reference's published DA ViT-L fp16 time at 504x504 on an
 (unnamed) NVIDIA GPU is 34 ms -> 29.4 fps (BASELINE.md).
 
+Default dispatch batch is 8 — the measured knee of the single-chip
+batch-vs-fps/chip curve (docs/performance.md, "Batched serving on one
+chip"); fps = B x dispatches/s, the per-chip serving throughput. Use
+--batch 1 for the latency-mode (one frame per dispatch) number.
+
 Prints ONE JSON line to stdout."""
 
 import argparse
@@ -127,11 +132,17 @@ def main():
     )
     ap.add_argument("--iters", type=int, default=None, help="Measurement window (frames); default 200 / 50 for dp")
     ap.add_argument(
-        "--batch", type=int, default=1, metavar="B",
+        "--batch", type=int, default=None, metavar="B",
         help="Frames per dispatch on the single chip (device-resident batch; fps = B * dispatches/s). "
-             "The batch-vs-fps/chip curve lives in docs/performance.md; tools/batch_sweep.py measures it",
+             "Default 8 — the measured knee of the batch-vs-fps/chip curve (docs/performance.md, "
+             "'Batched serving on one chip'; tools/batch_sweep.py measures it). --batch 1 for latency-mode",
     )
     args = ap.parse_args()
+    if args.batch is None:
+        # default: the measured B=8 knee of the single-chip batch curve
+        # (docs/performance.md round-5 sweep; B=16 regresses everywhere).
+        # The data-parallel bench has its own per-chip batch handling.
+        args.batch = 1 if args.data_parallel else 8
 
     ensure_backend_reachable(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600")))
 
