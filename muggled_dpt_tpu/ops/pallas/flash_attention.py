@@ -122,7 +122,9 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, exp2_domain=False, bi
         o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None, block_q=None):
+def _onepass_qkv_kernel(
+    qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None, block_q=None, qk_first=False
+):
     """One-pass attention reading `hpp` heads' fused (N_pad, hpp*3D) q|k|v
     slab directly from the projection output — no host-side transposes. The
     unrolled per-head chains are independent, so Mosaic can overlap one
@@ -136,7 +138,15 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None,
     logit tiles at hpp*block_q*N_pad*4 B so the fused path serves every
     one-pass N instead of stopping at the whole-N VMEM ceiling (~n_pad 3600).
     The slab's BlockSpec ignores the q-grid index, so Mosaic keeps it
-    resident across consecutive q-programs (revisit caching)."""
+    resident across consecutive q-programs (revisit caching).
+
+    qk_first: issue EVERY chain's QK logit matmul before any softmax+PV
+    tail (cross-chain software pipelining — all of chain j+1's MXU work is
+    schedulable under chain j's VPU softmax with no dependence analysis
+    across chain bodies). Numerics identical; live-VMEM identical (Mosaic
+    allocates per-value, so the hpp logit tiles are all live across the
+    sequential loop too). Measured on-chip as part of the hpp=4 XL regime
+    (see _hpp4_upgrade); promoted from experiments/flash_attention_xl.py."""
     slab = qkv_ref[0]
     kv_pad = slab.shape[0]
     # bias-free heads run in exp2 domain (log2(e) folds into the q scale for
@@ -161,16 +171,20 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None,
         # jax.export platforms=['tpu']). A pl.ds ref load with a 128-multiple
         # sublane offset lowers fine and reads only block_q rows from VMEM.
         qsrc = qkv_ref[0, pl.ds(pl.program_id(2) * block_q, block_q), :]
-    for j in range(hpp):
+    def chain_logits(j):
         base = j * 3 * d
         q = (qsrc[:, base : base + d].astype(jnp.float32) * qscale).astype(slab.dtype)
         k = slab[:, base + d : base + 2 * d]
-        v = slab[:, base + 2 * d : base + 3 * d]
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, j].astype(jnp.float32)
         if mask_row is not None:
             s = s + mask_row
+        return s
+
+    def chain_tail(j, s):
+        base = j * 3 * d
+        v = slab[:, base + 2 * d : base + 3 * d]
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp2(s - m) if exp2_domain else jnp.exp(s - m)
         if d % 128 != 0:
@@ -189,6 +203,14 @@ def _onepass_qkv_kernel(qkv_ref, o_ref, *, kv_len, scale, d, hpp, bias_ref=None,
             ) / jnp.maximum(l, 1e-30)
         o_ref[0, :, j * d : (j + 1) * d] = o.astype(o_ref.dtype)
 
+    if qk_first:
+        logits = [chain_logits(j) for j in range(hpp)]
+        for j in range(hpp):
+            chain_tail(j, logits[j])
+    else:
+        for j in range(hpp):
+            chain_tail(j, chain_logits(j))
+
 
 def _heads_per_program(num_heads: int, d: int) -> int | None:
     """Smallest head-group width whose qkv slab (hpp*3D) and output (hpp*D)
@@ -197,6 +219,38 @@ def _heads_per_program(num_heads: int, d: int) -> int | None:
         if num_heads % hpp == 0 and (3 * d * hpp) % 128 == 0 and (d * hpp) % 128 == 0:
             return hpp
     return None
+
+
+# hpp=4 XL dispatch window (unbiased q-blocked path only). At D=64 the lane
+# rule pins the minimum grouping to hpp=2; grouping 4 heads per program
+# halves the program count, so each program's resident (N_pad, hpp*3D) slab
+# DMA amortizes over twice the chain work — attacking exactly the "fixed
+# per-op cost + slab DMA" residual the round-5 XL ablation isolated
+# (docs/performance.md "structure-bound, not VPU-bound"). Measured on-chip
+# at N=10405 (1428^2 ViT-L) in two independent sessions: 5.22 vs 5.51 ms
+# anchor (2026-08-19) and 5.23 vs 5.50 ms (2026-08-20), -5% per op; at
+# N=18497 (n_pad 18560) the hpp=4 tiles fail Mosaic compilation despite
+# fitting the static budget, so the window is bounded by the last
+# known-compiling neighborhood of the measured point, not by the VMEM
+# estimate. Below ~8k tokens the win is unmeasured and the window stays
+# closed (the whole-N regime ends near n_pad 3600 anyway).
+HPP4_MIN_NPAD = 8 * 1024
+HPP4_MAX_NPAD = 12 * 1024
+
+
+def _hpp4_upgrade(n_pad: int, num_heads: int, d: int, hpp_min: int) -> bool:
+    """True when the unbiased q-blocked call should group 4 heads per
+    program instead of the lane-rule minimum (see HPP4_MIN_NPAD note)."""
+    if hpp_min >= 4 or num_heads % 4 != 0:
+        return False
+    if not (HPP4_MIN_NPAD <= n_pad <= HPP4_MAX_NPAD):
+        return False
+    if (3 * d * 4) % 128 != 0 or (d * 4) % 128 != 0:
+        return False
+    # mirror the kernel's VMEM assert at the 256-row block floor the picker
+    # lands on in this regime
+    tile = 4 * ONE_PASS_MIN_BLOCK_Q * _round_up(n_pad, ONE_PASS_MIN_BLOCK_Q) * 4
+    return tile + 16 * 1024 * 1024 <= _FUSED_VMEM_BUDGET
 
 
 def _fused_vmem_need_bytes(n_pad: int, hpp: int, biased: bool) -> int:
@@ -289,6 +343,13 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     # ops/nn.py gates the serving dispatch at ONE_PASS_MAX_KV; direct callers
     # past it (the cutover sweep) are fine as long as this budget holds.
     biased_call = bias is not None or bias_stack is not None
+    qk_first = False
+    if not biased_call and _hpp4_upgrade(n_pad, num_heads, d, hpp):
+        # XL regime: 4 heads per program + cross-chain QK-first pipelining,
+        # the configuration measured -5% per op at N=10405 in two sessions
+        # (see HPP4_MIN_NPAD). Promoted from experiments/flash_attention_xl.
+        hpp = 4
+        qk_first = True
     q_blocked = not biased_call and (
         block_q is not None or _fused_vmem_need_bytes(n_pad, hpp, False) > _FUSED_VMEM_BUDGET
     )
@@ -402,7 +463,7 @@ def flash_attention_fused_qkv(qkv, num_heads, bias=None, scale=None, interpret=F
     args = [qkvp]
     kernel = functools.partial(
         _onepass_qkv_kernel, kv_len=n, scale=scale, d=d, hpp=hpp,
-        block_q=block_q if q_blocked else None,
+        block_q=block_q if q_blocked else None, qk_first=qk_first,
     )
     if bias is not None:
         bp = jnp.broadcast_to(_fit_bias(bias, n_pad, n_pad, n, n), (b, num_heads, n_pad, n_pad))

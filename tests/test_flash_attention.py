@@ -340,3 +340,44 @@ def test_fused_qkv_q_blocked_matches_naive(n, block_q):
         flash_attention_fused_qkv(qkv, h, interpret=True, block_q=block_q).reshape(b, n, h, d)
     )
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_hpp4_upgrade_gate():
+    """The XL hpp=4 dispatch window (two-session measured win at N=10405;
+    Mosaic-infeasible at 18497) — the gate must open exactly on the
+    measured regime."""
+    from muggled_dpt_tpu.ops.pallas.flash_attention import _hpp4_upgrade
+
+    assert _hpp4_upgrade(10496, 16, 64, 2)        # 1428^2 ViT-L — the measured win
+    assert _hpp4_upgrade(8192, 16, 64, 2)         # window floor
+    assert _hpp4_upgrade(12 * 1024, 16, 64, 2)    # window ceiling
+    assert not _hpp4_upgrade(18560, 16, 64, 2)    # 1904^2 — Mosaic compile-fail regime
+    assert not _hpp4_upgrade(5504, 16, 64, 2)     # 1036^2 — unmeasured, stays hpp=2
+    assert not _hpp4_upgrade(10496, 6, 64, 2)     # heads not divisible by 4
+    assert not _hpp4_upgrade(10496, 16, 64, 4)    # already at (or past) hpp=4
+    assert not _hpp4_upgrade(10496, 16, 32, 4)    # d=32 minimum grouping is 4 already
+
+
+@pytest.mark.parametrize("force_q_block", [None, 256])
+def test_fused_qkv_hpp4_qk_first_matches_naive(monkeypatch, force_q_block):
+    """The promoted XL configuration (hpp=4 + cross-chain QK-first ordering)
+    vs explicit softmax attention. The dispatch window is shrunk so a
+    CPU-interpret-sized N triggers the upgrade; whole-N and q-blocked
+    variants both run the qk_first loop."""
+    import muggled_dpt_tpu.ops.pallas.flash_attention as fa
+
+    monkeypatch.setattr(fa, "HPP4_MIN_NPAD", 256)
+    rng = np.random.default_rng(23)
+    b, n, h, d = 1, 773, 4, 64  # n_pad 896 >= patched window floor; hpp 2 -> 4
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    qkv = jnp.stack([q, k, v], axis=3).reshape(b, n, 3 * h * d)
+
+    ref = np.asarray(_naive(q, k, v))
+    got = np.asarray(
+        fa.flash_attention_fused_qkv(
+            qkv, h, interpret=True, block_q=force_q_block
+        ).reshape(b, n, h, d)
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)

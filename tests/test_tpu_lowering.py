@@ -36,8 +36,9 @@ def _lower_tpu(fn, *args):
         1297,  # 504^2 ViT-L grid (whole-N regime)
         2917,  # 756^2 — first q-blocked size (n_pad > whole-N VMEM ceiling)
         5477,  # 1036^2
-        10405,  # 1428^2
-        18497,  # 1904^2
+        10405,  # 1428^2 — hpp=4 + qk_first XL dispatch (the measured win point)
+        12288,  # hpp=4 window ceiling (HPP4_MAX_NPAD) — pin compile feasibility at the bound
+        18497,  # 1904^2 (past the hpp=4 window; back to hpp=2)
     ],
 )
 def test_fused_qkv_lowers(n):
