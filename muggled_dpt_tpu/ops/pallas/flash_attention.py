@@ -228,12 +228,16 @@ def _heads_per_program(num_heads: int, d: int) -> int | None:
 # per-op cost + slab DMA" residual the round-5 XL ablation isolated
 # (docs/performance.md "structure-bound, not VPU-bound"). Measured on-chip
 # at N=10405 (1428^2 ViT-L) in two independent sessions: 5.22 vs 5.51 ms
-# anchor (2026-08-19) and 5.23 vs 5.50 ms (2026-08-20), -5% per op; at
-# N=18497 (n_pad 18560) the hpp=4 tiles fail Mosaic compilation despite
-# fitting the static budget, so the window is bounded by the last
-# known-compiling neighborhood of the measured point, not by the VMEM
-# estimate. Below ~8k tokens the win is unmeasured and the window stays
-# closed (the whole-N regime ends near n_pad 3600 anyway).
+# anchor (2026-08-19) and 5.23 vs 5.50 ms (2026-08-20), -5% per op; third
+# session live confirmation 5.20 vs 5.43-5.47 (round-5d). The bounds are
+# chip-proven (tools/hpp4_probe.py): every n_pad in [8192, 13568] compiles
+# and executes, 13824+ fails DEVICE compilation despite fitting the static
+# budget. The window ceiling stays at 12288 rather than the compile
+# boundary because the measured win decays toward it — -5% @10405 but only
+# -1.0% @13056 / -2.8% @13568 (single session, round-5d), under the
+# two-session >=5% promotion bar this repo holds kernel dispatch changes
+# to (round-4e precedent). Below 8k the win is a measured wash (round-5d
+# N=5477: all variants 1.60-1.62 ms) and the window stays closed.
 HPP4_MIN_NPAD = 8 * 1024
 HPP4_MAX_NPAD = 12 * 1024
 

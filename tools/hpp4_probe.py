@@ -24,6 +24,7 @@ def main():
     import jax.numpy as jnp
 
     from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
+    from muggled_dpt_tpu.ops.pallas import flash_attention as fa
     from muggled_dpt_tpu.ops.pallas.flash_attention import (
         HPP4_MAX_NPAD,
         HPP4_MIN_NPAD,
@@ -33,7 +34,14 @@ def main():
     )
 
     enable_compilation_cache()
-    ns = [int(a) for a in sys.argv[1:]] or [
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--max-npad":
+        # ceiling exploration: lift the window so _hpp4_upgrade fires above
+        # the production HPP4_MAX_NPAD (probing candidates for a raise)
+        fa.HPP4_MAX_NPAD = int(argv[1])
+        argv = argv[2:]
+        print(f"  (window ceiling lifted to {fa.HPP4_MAX_NPAD} for this probe)", flush=True)
+    ns = [int(a) for a in argv] or [
         HPP4_MIN_NPAD,      # window floor
         10405,              # 1428^2 — the measured win point
         11264,              # mid-window
