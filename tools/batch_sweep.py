@@ -32,6 +32,11 @@ CONFIGS = {
                  reassembly_features_list=(256, 512, 1024, 1024), fusion_channels=256),
     "vits": dict(features_per_token=384, num_heads=6, num_blocks=12,
                  reassembly_features_list=(48, 96, 192, 384), fusion_channels=64),
+    # SwiGLU giant: ~30 min synthetic build + a ~2.5 GB param upload over the
+    # tunnel (measure_int8_tiers.py budgeting note) — only run it explicitly
+    # via --models giant, with nothing else competing for host CPU.
+    "giant": dict(features_per_token=1536, num_heads=24, num_blocks=40,
+                  reassembly_features_list=(1536,) * 4, fusion_channels=384, is_giant=True),
 }
 
 
@@ -39,9 +44,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="ViT-L only, bf16 only")
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8, 16])
-    ap.add_argument("--models", nargs="+", default=None, choices=["vitl", "vits"])
+    ap.add_argument("--models", nargs="+", default=None, choices=["vitl", "vits", "giant"])
     ap.add_argument("--iters", type=int, default=None,
                     help="dispatches per window (default max(200//B, 16); small values for CPU smoke)")
+    ap.add_argument("--scan-only", action="store_true",
+                    help="skip the k=6-unroll mode (e.g. the giant, whose 40-block unroll compile "
+                         "is minutes per batch shape)")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +84,10 @@ def main():
         if not args.quick:
             tiers.append(("int8+qkv", base.quantize_encoder_int8(include_qkv=True)))
         for tier_name, tier_model in tiers:
-            for mode_name, model in (("scan", tier_model), ("unroll6", with_unroll(tier_model, 6))):
+            modes = [("scan", tier_model)]
+            if not args.scan_only:
+                modes.append(("unroll6", with_unroll(tier_model, 6)))
+            for mode_name, model in modes:
                 prev_fps = None
                 for b in args.batches:
                     frames = rgb if b == 1 else np.broadcast_to(rgb, (b, *rgb.shape))

@@ -5,7 +5,10 @@ device-resident-frame chip-throughput method as bench.py (ordered dispatch
 windows + one final probe readback). Synthetic L-scale weights — latency is
 weight-value independent.
 
-Run: python tools/bench_families.py [beit|swinv2 ...]   (~6 min both)
+Run: python tools/bench_families.py [beit|swinv2 ...] [--batch=B[,B...]]
+(~6 min both at B=1). --batch feeds a (B, H, W, 3) frame stack per dispatch
+and reports amortized ms/frame — the round-5 batched-serving axis for the
+non-DA families (semantics pinned by tests/test_batched_inference.py).
 """
 
 import sys
@@ -24,13 +27,37 @@ def chip_ms(run_one, probe, iters=200):
     return 1e3 / chip_fps(run_one, probe, iters=iters)
 
 
+def measure(name, model, max_side, rgb, batches):
+    scaled_hw = model.compute_scaled_hw(rgb.shape[:2], max_side, True)
+    for b in batches:
+        frames = rgb if b == 1 else np.broadcast_to(rgb, (b, *rgb.shape))
+        frame = jax.device_put(jnp.asarray(frames))
+        run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
+        np.asarray(run_one())
+        ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=max(200 // b, 25)) / b
+        btag = f" [B={b}]" if len(batches) > 1 or b > 1 else ""
+        print(
+            f"{name} @ {scaled_hw[0]}x{scaled_hw[1]}:{btag} {ms:.2f} ms/frame ({1e3/ms:.1f} fps/chip)",
+            flush=True,
+        )
+        del frame
+
+
 def main():
     from muggled_dpt_tpu.demo_helpers.misc import enable_compilation_cache
 
     enable_compilation_cache()
-    which = [a for a in sys.argv[1:]] or ["beit", "swinv2"]
+    batches = [1]
+    which = []
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batches = [int(v) for v in a.split("=", 1)[1].split(",")]
+        else:
+            which.append(a)
+    which = which or ["beit", "swinv2"]
     rng = np.random.default_rng(0)
     image_bgr = rng.integers(0, 256, size=(720, 1280, 3), dtype=np.uint8)
+    rgb = np.ascontiguousarray(image_bgr[..., ::-1])
 
     if "beit" in which:
         from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
@@ -44,12 +71,8 @@ def main():
             fusion_channels=256,
             dtype=jnp.bfloat16,
         )
-        scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], 512, True)
-        frame = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
-        run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
-        np.asarray(run_one())
-        ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0])
-        print(f"BEiT-L-512 @ {scaled_hw[0]}x{scaled_hw[1]}: {ms:.2f} ms ({1e3/ms:.1f} fps)", flush=True)
+        measure("BEiT-L-512", model, 512, rgb, batches)
+        del model
 
     if "swinv2" in which:
         from muggled_dpt_tpu.make_swinv2_dpt import make_swinv2_dpt
@@ -64,12 +87,8 @@ def main():
             fusion_channels=256,
             dtype=jnp.bfloat16,
         )
-        scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], 384, True)
-        frame = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
-        run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
-        np.asarray(run_one())
-        ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0])
-        print(f"SwinV2-L-384 @ {scaled_hw[0]}x{scaled_hw[1]}: {ms:.2f} ms ({1e3/ms:.1f} fps)", flush=True)
+        measure("SwinV2-L-384", model, 384, rgb, batches)
+        del model
 
 
 if __name__ == "__main__":
