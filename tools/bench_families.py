@@ -12,6 +12,7 @@ non-DA families (semantics pinned by tests/test_batched_inference.py).
 """
 
 import sys
+import time
 
 import numpy as np
 import jax
@@ -27,20 +28,35 @@ def chip_ms(run_one, probe, iters=200):
     return 1e3 / chip_fps(run_one, probe, iters=iters)
 
 
-def measure(name, model, max_side, rgb, batches):
+def measure(name, model, max_side, rgb, batches, retries=2):
     scaled_hw = model.compute_scaled_hw(rgb.shape[:2], max_side, True)
     for b in batches:
-        frames = rgb if b == 1 else np.broadcast_to(rgb, (b, *rgb.shape))
-        frame = jax.device_put(jnp.asarray(frames))
-        run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
-        np.asarray(run_one())
-        ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=max(200 // b, 25)) / b
-        btag = f" [B={b}]" if len(batches) > 1 or b > 1 else ""
-        print(
-            f"{name} @ {scaled_hw[0]}x{scaled_hw[1]}:{btag} {ms:.2f} ms/frame ({1e3/ms:.1f} fps/chip)",
-            flush=True,
-        )
-        del frame
+        # RESOURCE_EXHAUSTED off this relayed backend is usually a transient
+        # (allocation racing the previous exclusive-access holder's teardown,
+        # round-5e families_batch log) — cool down and retry before skipping,
+        # and never let one batch size abort the remaining rows.
+        for attempt in range(retries + 1):
+            frames = rgb if b == 1 else np.broadcast_to(rgb, (b, *rgb.shape))
+            frame = jax.device_put(jnp.asarray(frames))
+            run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
+            try:
+                np.asarray(run_one())
+            except jax.errors.JaxRuntimeError as err:
+                del frame
+                if "RESOURCE_EXHAUSTED" not in str(err) or attempt == retries:
+                    print(f"{name} [B={b}]: SKIP ({str(err).splitlines()[0]})", flush=True)
+                    break
+                print(f"{name} [B={b}]: RESOURCE_EXHAUSTED; cooling down 120s", flush=True)
+                time.sleep(120)
+                continue
+            ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=max(200 // b, 25)) / b
+            btag = f" [B={b}]" if len(batches) > 1 or b > 1 else ""
+            print(
+                f"{name} @ {scaled_hw[0]}x{scaled_hw[1]}:{btag} {ms:.2f} ms/frame ({1e3/ms:.1f} fps/chip)",
+                flush=True,
+            )
+            del frame
+            break
 
 
 def main():
