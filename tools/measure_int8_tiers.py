@@ -45,6 +45,11 @@ def main():
                        help="SwinV2-L-384: the MLP-only int8 subset vs bf16 (the tier's qkv/proj "
                             "exclusion for this family is by design, dpt.py:quantize_encoder_int8 — "
                             "this row is the measurement behind that call)")
+    which.add_argument("--beit-only", action="store_true",
+                       help="BEiT-L-512: bf16 vs int8 vs int8+qkv. The tier fully supports the "
+                            "stacked-blocks BEiT encoder (CPU-tested, tests/test_quant_int8.py) but "
+                            "had no chip timing row; BEiT's cached relpos-bias attention stays bf16, "
+                            "so the expected win is the MLP/proj share only")
     ap.add_argument("--iters", type=int, default=200)  # CLAUDE.md: >=200 dispatches per window
     ap.add_argument("--sizes", type=int, nargs="+", default=[518], help="max-side px per measurement")
     args = ap.parse_args()
@@ -75,6 +80,29 @@ def main():
             np.asarray(run_one())
             ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters)
             print(f"swinv2 {tier:22s} @384   {ms:7.2f} ms", flush=True)
+        return
+
+    if args.beit_only:
+        from muggled_dpt_tpu.make_beit_dpt import make_beit_dpt
+
+        m = make_beit_dpt(
+            features_per_token=1024, num_heads=16, num_blocks=24,
+            reassembly_features_list=(256, 512, 1024, 1024), base_patch_grid_hw=(32, 32),
+            fusion_channels=256, dtype=jnp.bfloat16,
+        )
+        scaled_hw = m.compute_scaled_hw(img.shape[:2], 512, True)
+        frame = jax.device_put(jnp.asarray(np.ascontiguousarray(img[..., ::-1])))
+        for tier, build in (
+            ("bf16 dense", lambda: m),
+            ("int8", lambda: m.quantize_encoder_int8()),
+            ("int8+qkv", lambda: m.quantize_encoder_int8(include_qkv=True)),
+        ):
+            model = build()
+            run_one = lambda: model.inference_rgb_device(frame, scaled_hw)
+            np.asarray(run_one())
+            ms = chip_ms(run_one, probe=lambda d: d[0, 0, 0], iters=args.iters)
+            print(f"beit   {tier:22s} @512   {ms:7.2f} ms", flush=True)
+            del model
         return
 
     names = ["vitl"] if args.vitl_only else ["giant"] if args.giant_only else ["vitl", "giant"]
