@@ -223,9 +223,12 @@ def window_attention(tokens_img, bp, num_heads, grid_hw, target_window_hw, is_sh
         # fused kernel wins only where the window count gives its grid real
         # parallelism — at Swin-L-384 stage shapes, nW=16 runs 2.1-2.2x
         # FASTER than the XLA composite while nW=4 is ~2x slower and nW=1 up
-        # to 5x slower. Dispatch on the trace-time window count: kernel for
-        # many-window (early) stages, XLA einsum for the tail stages.
-        use_kernel = (nwy * nwx >= 8) and window_flash_available()
+        # to 5x slower. The kernel's grid is b*nW*heads (one program per
+        # (batch, window, head)), so batch multiplies its parallelism the
+        # same way window count does — gate on the trace-time PRODUCT:
+        # kernel for many-(batch×window) shapes, XLA einsum for the rest.
+        # (At B=1 this is the original nW >= 8 stage gate.)
+        use_kernel = (b * nwy * nwx >= 8) and window_flash_available()
 
     if use_kernel:
         from ..ops.pallas.window_attention import window_flash_attention

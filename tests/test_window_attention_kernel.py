@@ -79,3 +79,14 @@ def test_window_count_dispatch_gate(monkeypatch):
     x4 = jnp.asarray(rng.standard_normal((1, 8, 8, c)), jnp.float32)
     sw.window_attention(x4, bp, h, (8, 8), (win, win), False, impl="pallas")
     assert len(calls) == 1, "nW=4 must stay on the XLA einsum path"
+
+    # the gate is on b*nW (the kernel's grid is b*nW*heads): the same
+    # 4-window stage at batch 8 has 32 programs of parallelism -> kernel
+    x4b = jnp.asarray(rng.standard_normal((8, 8, 8, c)), jnp.float32)
+    sw.window_attention(x4b, bp, h, (8, 8), (win, win), False, impl="pallas")
+    assert len(calls) == 2, "B=8 x nW=4 must dispatch the fused kernel"
+
+    # batch alone below the product threshold stays on XLA (B=4, nW=1)
+    x1b = jnp.asarray(rng.standard_normal((4, 4, 4, c)), jnp.float32)
+    sw.window_attention(x1b, bp, h, (4, 4), (win, win), False, impl="pallas")
+    assert len(calls) == 2, "B=4 x nW=1 must stay on the XLA einsum path"
