@@ -91,6 +91,20 @@ def main():
         db.shape[0] == 3 and np.isfinite(db).all() and absrel_b < 2e-2 and (db[0] == db[2]).all(),
         f"abs-rel {absrel_b:.2e}, dup rows equal {(db[0] == db[2]).all()}",
     )
+    # same gate for SwinV2: the batch-aware b*nW window-kernel dispatch
+    # (models/swinv2.py:window_attention) routes mid-pyramid stages through
+    # the fused kernel ONLY when batched (nW=4 alone stays XLA; 3*4 >= 8
+    # dispatches) — this exercises that kernel regime on the chip's program
+    m_sw = models[2][1]
+    hw_sw = m_sw.compute_scaled_hw(img.shape[:2], None, True)
+    db = np.asarray(m_sw.inference_rgb_device(jnp.asarray(frames), hw_sw), np.float32)
+    d0 = np.asarray(m_sw.inference_rgb_device(jnp.asarray(rgb), hw_sw), np.float32)[0]
+    absrel_b = float(np.abs(db[0] - d0).mean() / (np.abs(d0).mean() + 1e-12))
+    ok &= check(
+        "SwinV2 batched (B=3, b*nW kernel dispatch) vs single",
+        db.shape[0] == 3 and np.isfinite(db).all() and absrel_b < 2e-2 and (db[0] == db[2]).all(),
+        f"abs-rel {absrel_b:.2e}, dup rows equal {(db[0] == db[2]).all()}",
+    )
 
     # bf16-vs-f32 parity gate on hardware: the shipped default dtype is bf16;
     # quantify its end-to-end abs-rel against the f32 parity path per family
