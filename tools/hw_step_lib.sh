@@ -30,18 +30,35 @@ wait_for_backend() {
 }
 
 step() {
+  # Retries (STEP_RETRIES, default 2 extra attempts) cover the two transient
+  # failure shapes this backend shows after a wedge window (round-5e/5g):
+  # RESOURCE_EXHAUSTED on the first big allocation even though the tiny
+  # probe passes, and "backend unreachable" surfacing inside the tool.
   local name=$1 budget=$2; shift 2
-  echo "=== $name (budget ${budget}s) $(date)" | tee -a "$OUT/summary.log"
-  timeout --kill-after=30 "$budget" "$@" > "$OUT/$name.log" 2>&1
-  local rc=$?
-  echo "    rc=$rc $(date)" | tee -a "$OUT/summary.log"
-  tail -3 "$OUT/$name.log" | sed 's/^/    /'
-  if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
-    echo "    step timed out — probing backend before continuing" | tee -a "$OUT/summary.log"
-    if ! wait_for_backend; then
-      echo "=== ABORT: backend still unreachable after cooldown $(date)" | tee -a "$OUT/summary.log"
-      exit 1
+  local attempts=$(( ${STEP_RETRIES:-2} + 1 )) rc=0 try
+  for try in $(seq 1 "$attempts"); do
+    echo "=== $name (budget ${budget}s, try $try/$attempts) $(date)" | tee -a "$OUT/summary.log"
+    timeout --kill-after=30 "$budget" "$@" > "$OUT/$name.log" 2>&1
+    rc=$?
+    echo "    rc=$rc $(date)" | tee -a "$OUT/summary.log"
+    tail -3 "$OUT/$name.log" | sed 's/^/    /'
+    if [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
+      echo "    step timed out — probing backend before continuing" | tee -a "$OUT/summary.log"
+      if ! wait_for_backend; then
+        echo "=== ABORT: backend still unreachable after cooldown $(date)" | tee -a "$OUT/summary.log"
+        exit 1
+      fi
+      echo "    backend recovered $(date)" | tee -a "$OUT/summary.log"
+      return "$rc"  # budget consumed; do not retry a timed-out step
     fi
-    echo "    backend recovered $(date)" | tee -a "$OUT/summary.log"
-  fi
+    [ "$rc" -eq 0 ] && return 0
+    if grep -aq "RESOURCE_EXHAUSTED\|backend unreachable" "$OUT/$name.log"; then
+      echo "    transient backend failure — cooling down before retry" | tee -a "$OUT/summary.log"
+      sleep 120
+      wait_for_backend || { echo "=== ABORT: backend unreachable $(date)" | tee -a "$OUT/summary.log"; exit 1; }
+    else
+      return "$rc"  # real tool failure; retrying won't help
+    fi
+  done
+  return "$rc"
 }
