@@ -144,7 +144,11 @@ def main():
         # The data-parallel bench has its own per-chip batch handling.
         args.batch = 1 if args.data_parallel else 8
 
-    ensure_backend_reachable(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600")))
+    # default budget 1800s: the round-5 sessions measured relay-side wedge
+    # windows of 30-60 min (tunnel probes fail, then big allocations fail
+    # RESOURCE_EXHAUSTED for a while after probes recover) — a 600s budget
+    # recorded an error where a real number was one cooldown away
+    ensure_backend_reachable(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "1800")))
 
     # the unroll-mode ViT-L compile takes minutes cold; persist it across runs
     enable_compilation_cache()
@@ -195,8 +199,20 @@ def main():
     frame_dev = jax.device_put(jnp.asarray(rgb))
     run_one = lambda: model.inference_rgb_device(frame_dev, scaled_hw)
 
-    # warmup / compile with a full readback (validates the whole path)
-    np.asarray(run_one())
+    # warmup / compile with a full readback (validates the whole path).
+    # RESOURCE_EXHAUSTED right after a wedge window is usually transient
+    # (tiny probes pass while the relay still holds the previous session's
+    # HBM) — cool down and retry before giving up (round-5e/5g logs).
+    for attempt in range(3):
+        try:
+            np.asarray(run_one())
+            break
+        except jax.errors.JaxRuntimeError as err:
+            if "RESOURCE_EXHAUSTED" not in str(err) or attempt == 2:
+                raise
+            print(f"# warm-up RESOURCE_EXHAUSTED; cooling down 120s (attempt {attempt + 1}/3)",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
 
     iters = args.iters or max(200 // args.batch, 25)
     fps = chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=iters) * args.batch
