@@ -23,7 +23,8 @@ fi
 
 step beit_int8 2400 python tools/measure_int8_tiers.py --beit-only
 if ! grep -aq '"metric"' /tmp/hw_round5g/bench_head.log 2>/dev/null; then
-  step bench_head 1800 python bench.py
+  # budget > bench.py's own 1800s backend-probe budget + compile + measure
+  step bench_head 3000 python bench.py
 fi
 
 echo "=== done $(date)." | tee -a "$OUT/summary.log"
