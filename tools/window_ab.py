@@ -17,7 +17,11 @@ Two measurements:
    device-resident param set. The only spec difference is attn_impl
    (models/swinv2_family.py:26).
 
-Run: python tools/window_ab.py [--e2e-only|--op-only]
+Run: python tools/window_ab.py [--e2e-only|--op-only] [--batch B]
+--batch feeds B frames per dispatch (per-op shapes become (B, nW, A, H, D);
+the e2e toggle runs a B-frame stack) — the round-5 b*nW dispatch gate
+(models/swinv2.py:window_attention) generalizes the B=1 A/B by the kernel's
+grid product, and this measures that product directly at batch.
 Rows land in docs/performance.md (SwinV2 attribution note).
 """
 
@@ -33,7 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--e2e-only", action="store_true")
     ap.add_argument("--op-only", action="store_true")
+    ap.add_argument("--batch", type=int, default=1, help="frames per dispatch (B axis of every shape)")
     args = ap.parse_args()
+    B = args.batch
 
     import jax
     import jax.numpy as jnp
@@ -59,7 +65,7 @@ def main():
         ]
         for name, nw, win, h, d, grid in stages:
             a = win * win
-            q = jnp.asarray(rng.standard_normal((1, nw, a, h, d)), jnp.bfloat16)
+            q = jnp.asarray(rng.standard_normal((B, nw, a, h, d)), jnp.bfloat16)
             cpb = jnp.asarray(rng.standard_normal((h, a, a)), jnp.float32)
             shift = win // 2
             mask_np = (
@@ -79,8 +85,8 @@ def main():
                 return jnp.einsum("bwhnm,bwmhd->bwnhd", w.astype(x.dtype), x)
 
             for label, call in (
-                (f"{name} xla  (nW={nw:<2d} A={a:<4d} H={h})", lambda x: xla_op(x)),
-                (f"{name} kern (nW={nw:<2d} A={a:<4d} H={h})",
+                (f"{name} xla  (B*nW={B*nw:<3d} A={a:<4d} H={h})", lambda x: xla_op(x)),
+                (f"{name} kern (B*nW={B*nw:<3d} A={a:<4d} H={h})",
                  lambda x: window_flash_attention(x, x, x, cpb)),
             ) + (
                 ()
@@ -118,12 +124,15 @@ def main():
 
         image_bgr = rng.integers(0, 256, size=(720, 1280, 3), dtype=np.uint8)
         scaled_hw = model.compute_scaled_hw(image_bgr.shape[:2], 384, True)
-        frame = jax.device_put(jnp.asarray(np.ascontiguousarray(image_bgr[..., ::-1])))
+        rgb = np.ascontiguousarray(image_bgr[..., ::-1])
+        frames = rgb if B == 1 else np.broadcast_to(rgb, (B, *rgb.shape))
+        frame = jax.device_put(jnp.asarray(frames))
+        btag = f" [B={B}]" if B > 1 else ""
         for label, m in (("pallas window kernel", model), ("xla einsum path", model_xla)):
             run_one = lambda: m.inference_rgb_device(frame, scaled_hw)
             np.asarray(run_one())
-            ms = 1e3 / chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=200)
-            print(f"SwinV2-L-384 e2e {label:22s} {ms:7.2f} ms ({1e3/ms:.1f} fps)", flush=True)
+            ms = 1e3 / chip_fps(run_one, probe=lambda d: d[0, 0, 0], iters=max(200 // B, 25)) / B
+            print(f"SwinV2-L-384 e2e{btag} {label:22s} {ms:7.2f} ms/frame ({1e3/ms:.1f} fps)", flush=True)
 
 
 if __name__ == "__main__":
